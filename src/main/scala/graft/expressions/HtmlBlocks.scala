@@ -1,0 +1,240 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming HTML tag tokenizer + block builder as a native Catalyst
+  * expression: `HtmlBlocks(text)` →
+  * `array<struct<text,start,end,words,link_words,boiler>>`.
+  *
+  * One pass over the payload: tags are tokenized (attributes skipped
+  * quote-aware, comments and script/style content dropped), text content is
+  * entity-decoded and whitespace-collapsed, and block-level tags flush
+  * accumulated text into block structs carrying
+  *  - `text`  — decoded, collapsed block text
+  *  - `start`/`end` — char-span of the block's content in the RAW payload
+  *  - `words` / `link_words` — token counts for Boilerpipe-style
+  *    text-density / link-density classification (done downstream with
+  *    Catalyst higher-order functions, NOT here)
+  *  - `boiler` — inside a nav/header/footer/aside ancestor
+  *
+  * This is the graft analog of the reference's text-detection stage (boxes +
+  * per-box features, `pytorch_mobile/ocr_pipeline.py:447-533`); the
+  * classification itself stays in declarative Catalyst expressions
+  * (see `graft.operators.HtmlPath`), mirroring the reference's split between
+  * detection and confidence-threshold routing.
+  *
+  * CodegenFallback: the expression is a leaf-level scalar; whole-stage
+  * codegen resumes above it. Per-row cost is linear in payload size.
+  */
+case class HtmlBlocks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = HtmlBlocks.outType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_blocks"
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val blocks = HtmlBlocks.tokenize(s)
+    new GenericArrayData(blocks.map { b =>
+      InternalRow(UTF8String.fromString(b.text), b.start, b.end,
+        b.words, b.linkWords, b.boiler)
+    }.toArray[Any])
+  }
+}
+
+object HtmlBlocks {
+
+  val blockStruct: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("words", IntegerType, nullable = false),
+    StructField("link_words", IntegerType, nullable = false),
+    StructField("boiler", BooleanType, nullable = false)))
+
+  val outType: DataType = ArrayType(blockStruct, containsNull = false)
+
+  final case class Block(text: String, start: Int, end: Int,
+      words: Int, linkWords: Int, boiler: Boolean)
+
+  /** tags that terminate the current text block */
+  private val blockTags: Set[String] = Set(
+    "html", "head", "body", "title", "p", "div", "h1", "h2", "h3", "h4",
+    "h5", "h6", "ul", "ol", "li", "table", "thead", "tbody", "tr", "td",
+    "th", "br", "hr", "pre", "blockquote", "section", "article", "nav",
+    "header", "footer", "aside", "form", "main", "figure", "figcaption",
+    "dl", "dt", "dd", "caption")
+
+  private val boilerTags: Set[String] = Set("nav", "header", "footer", "aside")
+
+  private val namedEntities: Map[String, Char] = Map(
+    "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
+    "apos" -> '\'', "nbsp" -> ' ')
+
+  // scalastyle:off cyclomatic.complexity method.length
+  def tokenize(s: String): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    val n = s.length
+    var i = 0
+    var anchorDepth = 0
+    var boilerDepth = 0
+
+    // current block accumulation
+    val text = new java.lang.StringBuilder(64)
+    var bStart = -1
+    var bEnd = -1
+    var words = 0
+    var linkWords = 0
+    var boiler = false
+    var pendingWs = false
+    var inWord = false
+
+    def flush(): Unit = {
+      if (text.length > 0) {
+        out += Block(text.toString, bStart, bEnd, words, linkWords, boiler)
+      }
+      text.setLength(0); bStart = -1; bEnd = -1
+      words = 0; linkWords = 0; boiler = false
+      pendingWs = false; inWord = false
+    }
+
+    /** append one decoded content char whose raw source occupied [rs, re) */
+    def content(c: Char, rs: Int, re: Int): Unit = {
+      if (c.isWhitespace) {
+        if (text.length > 0) pendingWs = true
+        inWord = false
+      } else {
+        if (pendingWs) { text.append(' '); pendingWs = false }
+        if (!inWord) {
+          words += 1
+          if (anchorDepth > 0) linkWords += 1
+          inWord = true
+        }
+        if (text.length == 0) boiler = boilerDepth > 0
+        if (bStart < 0) bStart = rs
+        text.append(c)
+        bEnd = re
+      }
+    }
+
+    def lowerName(from: Int): (String, Int) = {
+      var j = from
+      val sb = new java.lang.StringBuilder(8)
+      while (j < n && (s.charAt(j).isLetterOrDigit)) {
+        val c = s.charAt(j)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        j += 1
+      }
+      (sb.toString, j)
+    }
+
+    /** skip attributes, quote-aware; returns index after '>' (or n) and
+      * whether the tag self-closed (a '/' immediately before '>').
+      */
+    def skipToTagEnd(from: Int): (Int, Boolean) = {
+      var j = from
+      var quote: Char = 0
+      var prev: Char = 0
+      while (j < n) {
+        val c = s.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return (j + 1, prev == '/')
+        if (quote == 0 && !c.isWhitespace) prev = c
+        j += 1
+      }
+      (n, false)
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && s.charAt(i + 1) == '!') {
+          val e = s.indexOf('>', i + 2) // <!doctype ...>
+          i = if (e < 0) n else e + 1
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/')) {
+          val closing = s.charAt(i + 1) == '/'
+          val (name, afterName) = lowerName(if (closing) i + 2 else i + 1)
+          if (name.isEmpty) { content('<', i, i + 1); i += 1 }
+          else {
+            val (afterTag, selfClosed) = skipToTagEnd(afterName)
+            i = afterTag
+            if (!closing && (name == "script" || name == "style")) {
+              flush()
+              // skip raw content until matching close tag (case-insensitive)
+              val close = "</" + name
+              var j = i
+              var found = -1
+              while (found < 0 && j >= 0) {
+                j = s.indexOf('<', j)
+                if (j < 0) found = n
+                else if (j + close.length <= n &&
+                  s.regionMatches(true, j, close, 0, close.length)) {
+                  val e = s.indexOf('>', j)
+                  found = if (e < 0) n else e + 1
+                } else j += 1
+              }
+              i = found
+            } else {
+              if (name == "a") {
+                if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+                else if (!selfClosed) anchorDepth += 1
+              }
+              if (blockTags.contains(name)) {
+                flush()
+                if (boilerTags.contains(name)) {
+                  if (closing) boilerDepth = math.max(0, boilerDepth - 1)
+                  else if (!selfClosed) boilerDepth += 1
+                }
+              }
+            }
+          }
+        } else {
+          content('<', i, i + 1); i += 1
+        }
+      } else if (c == '&') {
+        // entity: &name; | &#dd; | &#xHH;   (bounded scan, else literal '&')
+        var j = i + 1
+        var k = 0
+        while (j < n && k < 10 && s.charAt(j) != ';' &&
+          (s.charAt(j).isLetterOrDigit || s.charAt(j) == '#')) { j += 1; k += 1 }
+        if (j < n && s.charAt(j) == ';' && j > i + 1) {
+          val body = s.substring(i + 1, j)
+          val decoded: Option[Char] =
+            if (body.charAt(0) == '#') {
+              val num = body.substring(1)
+              try {
+                val cp =
+                  if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                    Integer.parseInt(num.substring(1), 16)
+                  else Integer.parseInt(num)
+                if (cp >= 0 && cp <= 0xFFFF) Some(cp.toChar) else None
+              } catch { case _: NumberFormatException => None }
+            } else namedEntities.get(body.toLowerCase(java.util.Locale.ROOT))
+          decoded match {
+            case Some(ch) => content(ch, i, j + 1); i = j + 1
+            case None => content('&', i, i + 1); i += 1
+          }
+        } else { content('&', i, i + 1); i += 1 }
+      } else {
+        content(c, i, i + 1)
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+  // scalastyle:on
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure-Catalyst column functions for content sniffing, plain-text
+  * normalization, spans and confidence — the "no UDF-opaque regex soup"
+  * core. Everything here is built-in expressions (codegen'd, null-safe,
+  * pushdown-friendly).
+  */
+object TextFunctions {
+
+  /** A string that is empty / whitespace / control chars only — the graft
+    * analog of the reference's blank-image early check
+    * (`_is_blank_image`, reference `pipeline.py:425-456`).
+    * NOTE: Spark's `trim` strips only spaces, hence the regex.
+    */
+  def isBlank(text: Column): Column =
+    text.isNull || text.rlike("\\A[\\s\\x00-\\x1F]*\\z")
+
+  /** Content format sniffing — the analog of the reference's magic-byte
+    * `_validate_file_format` (reference `pipeline.py:2615-2685`), as a pure
+    * CASE chain evaluated cheapest-first (blank short-circuits everything,
+    * mirroring the early blank check at `pipeline.py:1917-1936`). Invalid /
+    * unknown content routes to "plain", never raises.
+    */
+  def sniff(text: Column, tool: Column): Column =
+    when(isBlank(text), "blank")
+      .when(text.rlike("\\A\\s*%PDF-"), "pdf")
+      .when(text.rlike("(?is)\\A\\s*<(!doctype|!--|[a-z][a-z0-9]*[\\s>/])"), "html")
+      .when(tool.isNotNull && text.rlike("\\A\\s*\\{"), "tooljson")
+      .otherwise("plain")
+
+  /** 0-based offset of the first non-whitespace char (0 when none). */
+  def contentStart(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\A\\s+", ""))
+
+  /** 0-based offset just past the last non-whitespace char. */
+  def contentEnd(text: Column): Column =
+    length(regexp_replace(text, "\\s+\\z", ""))
+
+  /** Single span covering the trimmed content region of the raw payload;
+    * empty array for blank payloads.
+    */
+  def wholeSpan(text: Column): Column = {
+    val s = contentStart(text)
+    val e = contentEnd(text)
+    when(e > s, array(struct(s.cast("int").as("start"), e.cast("int").as("end"))))
+      .otherwise(array().cast("array<struct<start:int,end:int>>"))
+  }
+
+  /** Char-level OCR-confusion correction, gated to numeric-looking tokens —
+    * the canonical Catalyst re-expression of the reference's char-correction
+    * (reference `pipeline.py:1296-1336`, gate `\b[0-9lIoOzZsSgGbB|]+\b` with
+    * >=1 digit; cases mirrored from `pytorch_mobile/test_pipeline.py:115-121`:
+    * l23→123, O5→05, Z99→299, l2O→120, Hello→Hello).
+    * translate map: l,I,|→1  O,o→0  Z,z→2  S,s→5  G→6  g→9  B,b→8.
+    */
+  def correctToken(w: Column): Column =
+    when(w.rlike("\\A[0-9lIoOzZsSgGbB|]+\\z") && w.rlike("[0-9]"),
+      translate(w, "lI|OoZzSsGgBb", "1110022556988"))
+      .otherwise(w)
+
+  /** Plain-text path: whitespace collapse + numeric-context char correction.
+    * split on \s+ of the trimmed text, per-token gated translate, rejoin —
+    * higher-order `transform` over the token array, fully codegen-friendly.
+    */
+  def plainNormalize(text: Column): Column = {
+    val trimmed = regexp_replace(regexp_replace(text, "\\A\\s+", ""), "\\s+\\z", "")
+    when(isBlank(text), lit(""))
+      .otherwise(array_join(transform(split(trimmed, "\\s+"), w => correctToken(w)), " "))
+  }
+
+  /** Top-k geometric-mean confidence over an array<double> of block/token
+    * scores — the reference's `field_confidence` aggregate
+    * (`pipeline.py:399-414`): floor each score at 1e-3, keep top 80% when
+    * n>20, return prod^(1/k). Pure expression, no UDAF.
+    */
+  def geoMeanTopK(scores: Column): Column = {
+    val n = size(scores)
+    val k = when(n > 20, ceil(n * 0.8).cast("int")).otherwise(n)
+    val sorted = slice(sort_array(scores, asc = false), lit(1), k)
+    when(n === 0, lit(0.0)).otherwise(
+      exp(aggregate(sorted, lit(0.0),
+        (acc, c) => acc + log(greatest(c, lit(1e-3)))) / k))
+  }
+
+  /** Cross-row geometric-mean confidence (per-conversation aggregate):
+    * exp(avg(ln(greatest(conf, 1e-3)))) — SURVEY A1's cross-row form.
+    */
+  def geoMeanAgg(conf: Column): Column =
+    exp(avg(log(greatest(conf, lit(1e-3)))))
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.functions.TextFunctions._
+
+/** The extraction core: per-turn content sniffing → per-format extraction
+  * path → extracted text + raw-char spans + confidence + status. Narrow
+  * (no shuffle), staged projections.
+  *
+  * Spark re-expression of the reference's run_ocr routing
+  * (`pipeline.py:1889-2065`): the cheapest check (blank) is the first CASE
+  * branch — predicate-order short-circuiting plays the role of the
+  * reference's early blank detection (`pipeline.py:1917-1936`); the
+  * per-path low-confidence fallback re-parse (aggressive params) lives in
+  * lazy CASE branches of the SAME projection with keep-better semantics,
+  * the scale-correct form of the reference's "retry at 600 DPI and keep
+  * whichever is better" (`pipeline.py:1989-2002`) — a filter+union second
+  * pass was rejected because it doubles the input scan at 100 TB.
+  *
+  * Staging note (scale-critical): the tokenizer expressions and the
+  * Jackson JSON parse are materialized ONCE per row as intermediate
+  * columns, gated by the sniffed format (`when(fmt === ..., tokenize)`),
+  * and all downstream references are attribute reads. Catalyst's
+  * CollapseProject keeps the stages separate because the producing
+  * expressions are non-cheap and multiply-referenced; without this the
+  * assembled CASE would re-evaluate `html_blocks` ~10× per row.
+  */
+object Extract {
+
+  /** classifier: minimum words for a content block (Boilerpipe-style) */
+  val MinWords = 8
+
+  /** output struct shared by every path */
+  private def res(path: Column, text: Column, spans: Column, conf: Column,
+      status: Column, total: Column, kept: Column): Column =
+    struct(
+      path.as("path"),
+      text.as("text"),
+      spans.as("spans"),
+      conf.cast("double").as("confidence"),
+      status.as("status"),
+      total.cast("int").as("blocks_total"),
+      kept.cast("int").as("blocks_kept"))
+
+  private val emptySpans: Column =
+    array().cast("array<struct<start:int,end:int>>")
+
+  private def spanOf(start: Column, end: Column): Column =
+    struct(start.cast("int").as("start"), end.cast("int").as("end"))
+
+  // ------------------------------------------------------------- blank
+
+  private def blankRes: Column =
+    res(lit("blank"), lit(""), emptySpans, lit(0.0), lit("blank"), lit(0), lit(0))
+
+  // ------------------------------------------------------------- plain
+
+  private def plainRes(raw: Column): Column =
+    res(lit("plain"), plainNormalize(raw), wholeSpan(raw), lit(1.0),
+      lit("success"), lit(1), lit(1))
+
+  // ------------------------------------------------------------- tooljson
+
+  /** JSON tool-result path: `$.output.text` via Jackson-backed
+    * get_json_object (SURVEY X12); on parse failure falls back to the plain
+    * normalization path with reduced confidence (status `fallback`).
+    * `t` is the staged (once-per-row) parse result column.
+    */
+  private def toolJsonRes(raw: Column, t: Column): Column = {
+    val markerPos = instr(raw, "\"text\":\"") // 1-based, 0 when absent
+    val start = markerPos + lit(7) // 0-based offset of the value
+    when(t.isNotNull && markerPos > 0,
+      res(lit("tooljson"), t, array(spanOf(start, start + length(t))),
+        lit(1.0), lit("success"), lit(1), lit(1)))
+      .otherwise(
+        res(lit("tooljson"), plainNormalize(raw), wholeSpan(raw),
+          lit(0.3), lit("fallback"), lit(1), lit(0)))
+  }
+
+  // ------------------------------------------------------------- html
+
+  /** Boilerpipe-style keep predicate over one block struct */
+  private def keepBlock(b: Column): Column =
+    !b.getField("boiler") &&
+      b.getField("words") >= MinWords &&
+      b.getField("link_words") * 3 <= b.getField("words")
+
+  private def blockScores(bs: Column): Column = transform(bs, b => {
+    val ld = b.getField("link_words").cast("double") / b.getField("words")
+    lit(1.0) - ld * ld
+  })
+
+  /** HTML path assembly from staged columns: `blocks` = all tokenized
+    * blocks, `kept` = density-classified content blocks. Confidence is the
+    * reference's top-k geometric mean (A1) over per-block
+    * (1 - link_density²) scores. Zero kept blocks triggers the aggressive
+    * re-parse branch: keep every non-boiler block regardless of density.
+    */
+  private def htmlRes(blocks: Column, kept: Column): Column = {
+    def assemble(ks: Column, conf: Column, status: Column): Column =
+      res(lit("html"),
+        array_join(transform(ks, b => b.getField("text")), "\n"),
+        transform(ks, b => spanOf(b.getField("start"), b.getField("end"))),
+        conf, status, size(blocks), size(ks))
+
+    val aggressive = filter(blocks, b => !b.getField("boiler"))
+
+    when(size(kept) > 0,
+      assemble(kept, geoMeanTopK(blockScores(kept)), lit("success")))
+      .when(size(aggressive) > 0,
+        assemble(aggressive,
+          geoMeanTopK(blockScores(aggressive)) * 0.5, lit("fallback")))
+      .otherwise(
+        res(lit("html"), lit(""), emptySpans, lit(0.0), lit("fallback"),
+          size(blocks), lit(0)))
+  }
+
+  // ------------------------------------------------------------- pdf
+
+  /** reading-order comparator: (line, x, raw offset) — a total order */
+  private def readingOrder(a: Column, b: Column): Column = {
+    val l = a.getField("line") - b.getField("line")
+    val x = a.getField("x") - b.getField("x")
+    when(l =!= 0, l).when(x =!= 0, x)
+      .otherwise(a.getField("start") - b.getField("start"))
+  }
+
+  /** PDF path assembly from staged columns: `runs` (parsed glyph runs with
+    * y-gap line clustering) and `sorted` (reading-order sorted). Line
+    * assembly via aggregate with line-change separators. Confidence =
+    * parsed-run fraction over candidate `G ` lines.
+    */
+  private def pdfRes(raw: Column, runs: Column, sorted: Column): Column = {
+    val text = aggregate(sorted,
+      struct(lit("").as("s"), lit(-1).as("ln")),
+      (acc, r) => struct(
+        when(acc.getField("ln") === -1, r.getField("text"))
+          .when(r.getField("line") === acc.getField("ln"),
+            concat(acc.getField("s"), lit(" "), r.getField("text")))
+          .otherwise(concat(acc.getField("s"), lit("\n"), r.getField("text")))
+          .as("s"),
+        r.getField("line").as("ln")),
+      acc => acc.getField("s"))
+
+    val spans = transform(sorted, r =>
+      spanOf(r.getField("start"), r.getField("end")))
+
+    val candidates = size(filter(split(raw, "\n"), l =>
+      substring(l, 1, 2) === "G "))
+    val nLines = size(array_distinct(transform(runs, _.getField("line"))))
+
+    val conf = when(candidates > 0,
+      size(runs).cast("double") / candidates.cast("double")).otherwise(lit(0.0))
+
+    when(size(runs) > 0,
+      res(lit("pdf"), text, spans, conf,
+        when(conf >= 1.0, "success").otherwise("fallback"),
+        nLines, nLines))
+      .otherwise(
+        res(lit("pdf"), lit(""), emptySpans, lit(0.0), lit("fallback"),
+          lit(0), lit(0)))
+  }
+
+  // ------------------------------------------------------------- routing
+
+  /** transcripts(conv_id, turn_idx, role, text, tool, ts) →
+    * extracted(conv_id, turn_idx, path, text, spans, confidence, status,
+    * blocks_total, blocks_kept)
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val raw = col("text")
+    val fmt = col("__fmt")
+    val staged = df
+      .withColumn("__fmt", sniff(raw, col("tool")))
+      // stage the non-cheap parses ONCE per row, gated by format
+      .withColumn("__hb", when(fmt === "html", html_blocks(raw)))
+      .withColumn("__kept", when(fmt === "html",
+        filter(col("__hb"), b => keepBlock(b))))
+      .withColumn("__pr", when(fmt === "pdf", pdf_glyph_runs(raw)))
+      .withColumn("__sorted", when(fmt === "pdf",
+        array_sort(col("__pr"), (a, b) => readingOrder(a, b))))
+      .withColumn("__tj", when(fmt === "tooljson",
+        get_json_object(raw, "$.output.text")))
+
+    val routed = staged.withColumn("__x",
+      when(fmt === "blank", blankRes)
+        .when(fmt === "pdf", pdfRes(raw, col("__pr"), col("__sorted")))
+        .when(fmt === "html", htmlRes(col("__hb"), col("__kept")))
+        .when(fmt === "tooljson", toolJsonRes(raw, col("__tj")))
+        .otherwise(plainRes(raw)))
+
+    routed.select(col("conv_id"), col("turn_idx"),
+      col("__x.path").as("path"),
+      col("__x.text").as("text"),
+      col("__x.spans").as("spans"),
+      col("__x.confidence").as("confidence"),
+      col("__x.status").as("status"),
+      col("__x.blocks_total").as("blocks_total"),
+      col("__x.blocks_kept").as("blocks_kept"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen
+import graft.operators.Extract
+
+/** The north-rule invariant: per-turn text equality against analytically
+  * generated goldens (re-expression of the reference's exact-equality field
+  * accuracy, `run_comprehensive_tests.py:53-70`).
+  */
+class GoldenEqualitySpec extends SparkSpecBase {
+
+  private val N = 3000L
+
+  lazy val out = Extract(TranscriptGen.inputDf(spark, N)).cache()
+  lazy val golden = TranscriptGen.goldenDf(spark, N)
+
+  test("row count matches golden count") {
+    assert(out.count() === N)
+  }
+
+  test("per-turn extracted text is byte-for-byte equal to golden") {
+    val joined = out.join(golden, Seq("conv_id", "turn_idx"))
+    assert(joined.count() === N) // (conv_id, turn_idx) unique + complete
+    val bad = joined.filter(
+      !(col("text") <=> col("expected_text")) ||
+        !(col("path") <=> col("expected_path")) ||
+        !(col("status") <=> col("expected_status")))
+    val sample = bad
+      .select("conv_id", "turn_idx", "path", "expected_path", "status",
+        "expected_status", "text", "expected_text")
+      .take(5)
+    assert(bad.count() === 0,
+      s"\nfirst mismatches:\n${sample.mkString("\n")}")
+  }
+
+  test("spans match golden spans exactly") {
+    val joined = out.join(golden, Seq("conv_id", "turn_idx"))
+    val bad = joined.filter(!(col("spans") <=> col("expected_spans")))
+    val sample = bad
+      .select("conv_id", "turn_idx", "path", "spans", "expected_spans")
+      .take(5)
+    assert(bad.count() === 0,
+      s"\nfirst span mismatches:\n${sample.mkString("\n")}")
+  }
+
+  test("every payload class is exercised by the generator") {
+    val paths = out.groupBy("path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (p <- Seq("plain", "html", "pdf", "tooljson", "blank"))
+      assert(paths.getOrElse(p, 0L) > 0, s"path $p not generated")
+  }
+
+  test("fallback status is exercised (malformed tooljson)") {
+    assert(out.filter(col("status") === "fallback").count() > 0)
+  }
+}
