@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Extract
+
+/** Batch extraction job with Iceberg-shaped layout on Parquet (the sandbox
+  * ships no Iceberg runtime jar — SURVEY.md §7): hash-bucketed directory
+  * partitioning + a snapshot-style manifest table carrying per-bucket
+  * lineage/metrics and completion, giving checkpoint/resume semantics.
+  *
+  * Scale design (north_rule):
+  *  - ONE Exchange: repartition by salted conv_id hash bucket; ordering is
+  *    re-established with sortWithinPartitions(conv_id, turn_idx) — never a
+  *    global orderBy (per-turn equality needs deterministic per-key order,
+  *    not a total sort; SURVEY T6).
+  *  - Skew/salting: the bucket key is hash(conv_id, turn_idx/saltChunk) so a
+  *    mega-conversation (10^8 turns) spreads across buckets in
+  *    saltChunk-sized runs instead of serializing into one task; per-turn
+  *    outputs never need re-merging so ordering inside each chunk suffices.
+  *  - Resume: broadcast left_anti join of the input against completed
+  *    manifest buckets — the graft analog of the reference's cache reuse
+  *    (`pipeline.py:100-191`) but with durable exactly-once-per-bucket
+  *    semantics: data is written with dynamic partition overwrite, so
+  *    re-running a bucket that crashed mid-write replaces its directory
+  *    instead of appending duplicates.
+  *  - Lineage/metrics (north_star triplet): turns processed, blocks
+  *    dropped, parser fallbacks — derived per bucket with one hash
+  *    aggregate over the written rows and appended to the manifest.
+  */
+object ExtractionJob {
+
+  case class Config(
+      outDir: String,
+      numBuckets: Int = 32,
+      saltChunk: Int = 4096)
+
+  /** salted bucket id: hash(conv_id, turn_idx / saltChunk) mod numBuckets */
+  def bucketCol(numBuckets: Int, saltChunk: Int) =
+    pmod(hash(col("conv_id"), floor(col("turn_idx") / saltChunk).cast("int")),
+      lit(numBuckets))
+
+  def dataDir(cfg: Config): String = s"${cfg.outDir}/data"
+  def manifestDir(cfg: Config): String = s"${cfg.outDir}/_manifest"
+
+  /** completed bucket ids from prior runs (empty frame when no manifest) */
+  def completedBuckets(spark: SparkSession, cfg: Config): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(manifestDir(cfg))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.parquet(manifestDir(cfg))
+        .filter(col("status") === "complete")
+        .select("bucket").distinct()
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType))))
+  }
+
+  /** Run (or resume) the extraction job over `input` (transcript schema).
+    * Returns the per-bucket manifest rows written by THIS run.
+    *
+    * `onlyBuckets` processes a subset — used by tests to simulate a killed
+    * run (the manifest then records only those buckets as complete).
+    */
+  def run(spark: SparkSession, input: DataFrame, cfg: Config,
+      onlyBuckets: Option[Seq[Int]] = None): DataFrame = {
+    val t0 = System.currentTimeMillis()
+
+    val bucketed = input
+      .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
+
+    val done = completedBuckets(spark, cfg)
+    val todo0 = bucketed.join(broadcast(done), Seq("bucket"), "left_anti")
+    val todo = onlyBuckets match {
+      case Some(bs) => todo0.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))
+      case None => todo0
+    }
+
+    val extracted = Extract(todo.drop("bucket"))
+      .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
+      .repartition(cfg.numBuckets, col("bucket"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+
+    // exactly-once per bucket: dynamic partition overwrite replaces a
+    // bucket dir on re-run instead of appending duplicates
+    extracted.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dataDir(cfg))
+
+    // lineage/metrics per bucket, computed from the durably written rows
+    val written = spark.read.parquet(dataDir(cfg))
+      .join(broadcast(done), Seq("bucket"), "left_anti")
+    val manifest = written
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("turns_processed"),
+        sum(col("blocks_total") - col("blocks_kept")).as("blocks_dropped"),
+        sum(when(col("status") === "fallback", 1).otherwise(0))
+          .as("parser_fallbacks"),
+        sum(when(col("status") === "blank", 1).otherwise(0)).as("blank_turns"))
+      .withColumn("status", lit("complete"))
+      .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
+
+    manifest.write.mode(SaveMode.Append).parquet(manifestDir(cfg))
+    spark.read.parquet(manifestDir(cfg)).join(
+      manifest.select("bucket"), Seq("bucket"), "left_semi")
+  }
+
+  /** the final output table (all completed buckets), stable per-key order */
+  def output(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(dataDir(cfg))
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen
+import graft.plans.ExtractionJob
+import graft.plans.ExtractionJob.Config
+
+/** Checkpoint/resume + lineage manifest (north_rule): a killed run's
+  * completed buckets are skipped on resume and the final table is identical
+  * to a single-shot run.
+  */
+class ResumeSpec extends SparkSpecBase {
+
+  private val N = 4000L
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-job").toString
+
+  test("single-shot run writes all buckets + consistent manifest") {
+    val cfg = Config(tmp(), numBuckets = 8, saltChunk = 64)
+    val in = TranscriptGen.inputDf(spark, N)
+    ExtractionJob.run(spark, in, cfg)
+
+    val out = ExtractionJob.output(spark, cfg)
+    assert(out.count() === N)
+
+    val manifest = spark.read.parquet(ExtractionJob.manifestDir(cfg))
+    assert(manifest.agg(sum("turns_processed")).head.getLong(0) === N)
+
+    // manifest metrics must equal a recomputation from the output table
+    val recomputed = out.groupBy("bucket").agg(
+      count(lit(1)).as("t"),
+      sum(col("blocks_total") - col("blocks_kept")).as("d"),
+      sum(when(col("status") === "fallback", 1).otherwise(0)).as("f"))
+    val joined = manifest.join(recomputed, "bucket")
+    assert(joined.filter(
+      col("turns_processed") =!= col("t") ||
+        col("blocks_dropped") =!= col("d") ||
+        col("parser_fallbacks") =!= col("f")).count() === 0)
+  }
+
+  test("kill/resume: completed buckets skipped, final table identical") {
+    val cfgA = Config(tmp(), numBuckets = 8, saltChunk = 64)
+    val cfgB = Config(tmp(), numBuckets = 8, saltChunk = 64)
+    val in = TranscriptGen.inputDf(spark, N)
+
+    // reference: single-shot run
+    ExtractionJob.run(spark, in, cfgA)
+
+    // "killed" run: only half the buckets complete, then resume
+    ExtractionJob.run(spark, in, cfgB, onlyBuckets = Some(Seq(0, 1, 2, 3)))
+    val afterKill = spark.read.parquet(ExtractionJob.manifestDir(cfgB))
+    assert(afterKill.select("bucket").distinct().count() === 4)
+
+    val resumed = ExtractionJob.run(spark, in, cfgB)
+    // resume processed exactly the remaining buckets
+    assert(resumed.select("bucket").distinct().count() === 4)
+    val manifest = spark.read.parquet(ExtractionJob.manifestDir(cfgB))
+    assert(manifest.select("bucket").distinct().count() === 8)
+    assert(manifest.count() === 8) // no bucket processed twice
+
+    // byte-identical final content vs the single-shot run
+    val a = ExtractionJob.output(spark, cfgA)
+    val b = ExtractionJob.output(spark, cfgB)
+    assert(a.count() === N && b.count() === N)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("third run over a complete table is a no-op") {
+    val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
+    val in = TranscriptGen.inputDf(spark, 500L)
+    ExtractionJob.run(spark, in, cfg)
+    val again = ExtractionJob.run(spark, in, cfg)
+    assert(again.count() === 0)
+    assert(ExtractionJob.output(spark, cfg).count() === 500L)
+  }
+
+  test("output ordering is stable within (bucket) partitions") {
+    val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
+    ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 1000L), cfg)
+    // within every written file, rows must be sorted by (conv_id, turn_idx)
+    val out = ExtractionJob.output(spark, cfg)
+      .withColumn("file", input_file_name())
+      .withColumn("rn", monotonically_increasing_id())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("file").orderBy("rn")
+    val bad = out
+      .withColumn("prev_conv", lag("conv_id", 1).over(w))
+      .withColumn("prev_turn", lag("turn_idx", 1).over(w))
+      .filter(col("prev_conv").isNotNull &&
+        (col("prev_conv") > col("conv_id") ||
+          (col("prev_conv") === col("conv_id") &&
+            col("prev_turn") >= col("turn_idx"))))
+    assert(bad.count() === 0)
+  }
+}
