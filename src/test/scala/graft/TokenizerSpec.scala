@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{HtmlBlocks, PdfGlyphRuns}
+
+/** Table-driven unit tests for the two tokenizer expressions (JVM-level;
+  * their Catalyst integration is covered by GoldenEqualitySpec and the
+  * SQL-registration test in FunctionsSpec).
+  */
+class TokenizerSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------------- html
+
+  private def blocks(s: String) = HtmlBlocks.tokenize(s)
+
+  test("simple paragraph block with raw span") {
+    val s = "<p>hello world</p>"
+    val b = blocks(s)
+    assert(b.map(_.text) === Vector("hello world"))
+    assert(b.head.start === 3 && b.head.end === 14)
+    assert(b.head.words === 2 && b.head.linkWords === 0 && !b.head.boiler)
+  }
+
+  test("inline tags merge, block tags split") {
+    val b = blocks("<div>one <b>two</b> three<br>four</div>")
+    assert(b.map(_.text) === Vector("one two three", "four"))
+  }
+
+  test("whitespace collapses; spans exclude surrounding whitespace") {
+    val s = "<p>  a \t\n b  </p>"
+    val b = blocks(s)
+    assert(b.head.text === "a b")
+    assert(s.substring(b.head.start, b.head.end) === "a \t\n b")
+  }
+
+  test("entities decode; unknown entities stay literal") {
+    val b = blocks("<p>a&amp;b &#65; &#x42; &nope; &unterminated x</p>")
+    assert(b.head.text === "a&b A B &nope; &unterminated x")
+  }
+
+  test("script/style/comment content is skipped entirely") {
+    val b = blocks(
+      "<style>p{a:1}</style><script>if(x<2){y}</script><!-- no -->" +
+        "<p>kept words</p>")
+    assert(b.map(_.text) === Vector("kept words"))
+  }
+
+  test("link words counted inside <a>; boiler flag inside nav/footer") {
+    val b = blocks(
+      "<nav><a href='/'>Home</a> <a href='/x'>About</a></nav>" +
+        "<p>body <a href='#'>link</a> words</p>" +
+        "<footer>fine print</footer>")
+    assert(b.length === 3)
+    assert(b(0).boiler && b(0).linkWords === 2 && b(0).words === 2)
+    assert(!b(1).boiler && b(1).linkWords === 1 && b(1).words === 3)
+    assert(b(2).boiler && b(2).linkWords === 0)
+  }
+
+  test("unclosed tags and bare < are tolerated") {
+    val b = blocks("<div><p>first block still works<div>second")
+    assert(b.map(_.text) === Vector("first block still works", "second"))
+    val c = blocks("5 < 6 and 7 > 2")
+    assert(c.head.text === "5 < 6 and 7 > 2")
+  }
+
+  test("self-closing anchor does not leak link state") {
+    val b = blocks("<p><a href='x'/>plain words here</p>")
+    assert(b.head.linkWords === 0)
+  }
+
+  test("empty / tags-only input yields no blocks") {
+    assert(blocks("").isEmpty)
+    assert(blocks("<div><p></p></div>").isEmpty)
+  }
+
+  // ------------------------------------------------------------- pdf
+
+  private def runs(s: String) = PdfGlyphRuns.parse(s)
+
+  test("runs parse with raw offsets and y-gap line clustering") {
+    val s = "%PDF-SIM\nG 40 140 12 second line\nG 40 100 12 first\nG 80 102 12 line\n"
+    val r = runs(s)
+    assert(r.length === 3)
+    val byLine = r.sortBy(x => (x.line, x.x))
+    assert(byLine.map(_.text).toSeq === Seq("first", "line", "second line"))
+    assert(byLine.map(_.line).toSeq === Seq(0, 0, 1))
+    // offsets point into the raw payload
+    assert(s.substring(r(0).start, r(0).end) === "second line")
+  }
+
+  test("jitter within RowTol keeps runs on one line") {
+    val s = "%PDF-SIM\nG 10 100 12 a\nG 50 108 12 b\nG 90 95 12 c\n"
+    assert(runs(s).map(_.line).distinct.toSeq === Seq(0))
+  }
+
+  test("malformed run lines are skipped, valid ones survive") {
+    val s = "%PDF-SIM\nG x y z bad\nG 10 20 12 good\nnot a run\nG 10 20\n"
+    val r = runs(s)
+    assert(r.map(_.text).toSeq === Seq("good"))
+  }
+
+  test("missing header yields no runs") {
+    assert(runs("G 10 20 12 text").isEmpty)
+    assert(runs("%PDF-").isEmpty) // header but no newline
+    assert(runs("").isEmpty)
+  }
+
+  test("leading whitespace before header is tolerated") {
+    assert(runs("  \n%PDF-SIM\nG 1 2 3 ok\n").length === 1)
+  }
+}
