@@ -1,12 +1,25 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.gen.TranscriptGen
+import graft.media.{Media, MediaGen}
 import graft.operators.Extract
+import graft.similarity.Ann
+import graft.textanalysis.TextAnalysis
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Naming: `x*` = extraction engine over the repo-generated transcript
+  * table (rows-only check — not DuckDB-expressible), `t*` = training-data
+  * pipeline ops over documents/embeddings, `q*` = relational battery over
+  * the TPC-H-ish tables, `m*` = multimodal binary plumbing. Every query
+  * with a DuckDB-SQL twin lists it in [[oracleSql]] with IDENTICAL output
+  * column names and an ORDER BY making row order deterministic.
+  */
 object SparkEntry {
 
   /** Flagship query: the full transcript-extraction pipeline (sniff → route
@@ -16,35 +29,363 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Extract(TranscriptGen.inputDf(spark, 2000L))
 
-  /** One entry per implemented operator from SURVEY.md §2.
-    * Keys with a matching `oracleSql` entry are DuckDB-verified at sf0.01;
-    * the rest get the driver's rows-only check.
+  /** documents table + deterministic near-duplicate rows (id+100000,
+    * 3 tokens appended) — gives the near-dup detectors real positives.
     */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- extraction engine (transcript table is repo-generated; not SQL-
-    // expressible in DuckDB -> rows-only check)
-    "x01_extract_transcripts" -> ((s, _) => Extract(TranscriptGen.inputDf(s, 5000L))),
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val perturbed = docs
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" zq1 zq2 zq3")))
+    docs.unionByName(perturbed)
+  }
 
-    // ---- relational battery over the harness tables (DuckDB-verified)
-    "q01_agg" -> ((s, dir) => {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= extraction engine (repo-generated transcripts;
+    // not SQL-expressible in DuckDB -> rows-only check)
+    "x01_extract_transcripts" -> ((s, _) =>
+      Extract(TranscriptGen.inputDf(s, 5000L))),
+
+    // per-conversation assembly (SURVEY A3): stable (conv_id, turn_idx)
+    // ordering via sort_array(collect_list(struct)) — the groupBy form
+    "x02_conv_assembly" -> ((s, _) => {
+      val out = Extract(TranscriptGen.inputDf(s, 5000L))
+      out.groupBy(col("conv_id"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("status") === "success", 1).otherwise(0)).as("n_success"),
+          round(exp(avg(log(greatest(col("confidence"), lit(1e-3))))), 6)
+            .as("geo_conf"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+              t => t.getField("text")),
+            "\n").as("conv_text"))
+    }),
+
+    // ================= training-data pipeline ops (documents/embeddings)
+    "t01_text_analysis" -> ((s, dir) =>
+      TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+
+    "t02_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("keeper_id")),
+
+    "t03_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(docsWithNearDups(s, dir), numHashes = 32,
+          bands = 8, shingleWidth = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    "t04_simhash_dedup" -> ((s, dir) =>
+      Dedup.simhashDedup(docsWithNearDups(s, dir), maxHamming = 6)
+        .orderBy("a_id", "b_id")),
+
+    "t05_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard of consecutive doc pairs (full-join-free:
+      // deterministic candidate list keeps the oracle SQL-expressible)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = docs.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 1).as("b_id"))
+        .filter(col("b_id") < 500)
+      Dedup.jaccardVerify(pairs, docs, w = 3, threshold = 0.0)
+        .orderBy("a_id")
+    }),
+
+    "t06_cosine_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.4)
+        .orderBy("a_id", "b_id")),
+
+    "t07_ann_topk" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "t08_ann_lsh" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        planes = 4, dim = 64).orderBy("query_id", "rank")
+    }),
+
+    // histogram over pipeline outputs (SURVEY A7/A8 shape)
+    "t09_quality_histogram" -> ((s, dir) =>
+      TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
+        .groupBy(col("tier"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy("tier", "lang_pred")),
+
+    // ================= multimodal binary plumbing (repo-generated)
+    "m01_media_decode" -> ((s, _) =>
+      Media.process(MediaGen.mediaDf(s, 2000L), stride = 4)
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("n_sampled"),
+          col("payload_sha256"))
+        .orderBy("media_id")),
+
+    // ================= relational battery (TPC-H-ish; DuckDB-verified)
+    "q01_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // broadcast dim join (SURVEY J3 idiom): orders ⋈ customer ⋈ nation
+    "q02_broadcast_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // top-k per group via rank window (SURVEY W2/T5)
+    "q03_topk_per_group" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // interval self-join via time-grid bucketing (SURVEY J1 idiom):
+    // event pairs of the same user within 60s. The 1-minute grid key makes
+    // it an equi-join (b side exploded into 2 neighbor buckets), the
+    // range predicate is the residual — the standard spatial-join shape
+    // that scales (no cross product, shuffle on (user, bucket)).
+    "q04_interval_selfjoin" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(unix_micros(col("ts").cast("timestamp")) / 1000000L)
+            .cast("long").as("sec"))
+      val a = ev.withColumn("bucket", floor(col("sec") / 60))
+      val b = ev.withColumn("bucket",
+          explode(array(floor(col("sec") / 60), floor(col("sec") / 60) - 1)))
+      a.as("a").join(b.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("b.event_id") > col("a.event_id") &&
+            col("b.sec") >= col("a.sec") &&
+            col("b.sec") - col("a.sec") <= 60)
+        .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
+          (col("b.sec") - col("a.sec")).as("gap_s"))
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // bucketed histogram + stats (SURVEY A8)
+    "q05_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"),
+          round(stddev_pop(col("value")), 6).as("sd_value"))
+        .orderBy("bucket")),
+
+    // cross-row geometric mean (SURVEY A1 cross-row form)
+    "q06_geomean" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.groupBy(col("o_orderpriority"))
+        .agg(round(exp(avg(log(greatest(col("o_totalprice"), lit(1e-3))))), 4)
+          .as("geo_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // set ops (SURVEY §2.7): urgent ∪ high-value minus returned-flag keys
+    "q07_setops" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val rich = orders.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey"))
+      val returned = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey"))
+      urgent.unionByName(rich).distinct()
+        .exceptAll(returned.distinct())
+        .orderBy("o_orderkey")
+    }),
+
+    // argmax via max_by (SURVEY A5); max o_totalprice is unique per group
+    // in this dataset so the argmax is deterministic
+    "q08_argmax" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("best_orderkey"),
+          max(col("o_totalprice").cast("decimal(18,2)")).as("best_price"))
+        .orderBy("o_orderpriority")),
+
+    // JSON extraction (SURVEY X12) over the events props column
+    "q09_json_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // two-stage salted aggregation (SURVEY §4 skew row): stage 1 on a
+    // salted key bounds per-task state for skewed keys; stage 2 merges.
+    // Result identical to a direct groupBy — the oracle checks that.
+    "q10_salted_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+          count(lit(1)).as("pn"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         count(*) AS count_order
-         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
-  )
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (x*, m*, t03/t04/t08 — approx/hash-dependent) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val flat =
+      "SELECT vec_id, generate_subscripts(embedding,1) AS i, unnest(embedding) AS x FROM embeddings"
+    Map(
+      "t01_text_analysis" -> TextAnalysis.oracle,
+
+      "t02_exact_dedup" ->
+        """SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id,
+           count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY keeper_id""",
+
+      "t05_ngram_jaccard" ->
+        """WITH sh AS (
+             SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+               THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(range(1, len(toks)-1),
+                    i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+             FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents))
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.doc_id < 500
+           ORDER BY a_id""",
+
+      "t06_cosine_neardup" ->
+        s"""WITH flat AS ($flat),
+            pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     round(sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))), 6) AS cos
+              FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.4
+            ORDER BY a_id, b_id""",
+
+      "t07_ann_topk" ->
+        s"""WITH flat AS ($flat),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round(sum(q.x*c.x)/(sqrt(sum(q.x*q.x))*sqrt(sum(c.x*c.x))), 6) AS cos
+              FROM flat q JOIN flat c ON q.i = c.i
+                AND q.vec_id < 8 AND c.vec_id <> q.vec_id
+              GROUP BY 1, 2)
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      "t09_quality_histogram" -> {
+        val inner = TextAnalysis.oracle
+        s"""SELECT tier, lang_pred, count(*) AS n,
+            round(avg(quality), 6) AS avg_quality
+            FROM ($inner) GROUP BY 1, 2 ORDER BY tier, lang_pred"""
+      },
+
+      "q01_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           count(*) AS count_order
+           FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "q02_broadcast_join" ->
+        """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1 ORDER BY 1""",
+
+      "q03_topk_per_group" ->
+        """SELECT o_orderpriority, rk, o_orderkey, price FROM (
+             SELECT o_orderpriority,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+               o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             FROM orders)
+           WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
+      "q04_interval_selfjoin" ->
+        """WITH e AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+           SELECT a.event_id AS a_id, b.event_id AS b_id,
+             b.sec - a.sec AS gap_s
+           FROM e a JOIN e b ON a.user_id = b.user_id
+             AND b.event_id > a.event_id
+             AND b.sec >= a.sec AND b.sec - a.sec <= 60
+           ORDER BY a_id, b_id""",
+
+      "q05_histogram" ->
+        """SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(stddev_pop(value), 6) AS sd_value
+           FROM events GROUP BY 1 ORDER BY bucket""",
+
+      "q06_geomean" ->
+        """SELECT o_orderpriority,
+           round(exp(avg(ln(greatest(o_totalprice, 1e-3)))), 4) AS geo_price,
+           count(*) AS n
+           FROM orders GROUP BY 1 ORDER BY 1""",
+
+      "q07_setops" ->
+        """SELECT o_orderkey FROM (
+             SELECT DISTINCT o_orderkey FROM (
+               SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+               UNION ALL
+               SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+             EXCEPT ALL
+             SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+             WHERE l_returnflag = 'R')
+           ORDER BY o_orderkey""",
+
+      "q08_argmax" ->
+        """SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS best_orderkey,
+           max(CAST(o_totalprice AS DECIMAL(18,2))) AS best_price
+           FROM orders GROUP BY 1 ORDER BY 1""",
+
+      "q09_json_extract" ->
+        """SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+           FROM events GROUP BY 1 ORDER BY 1""",
+
+      "q10_salted_agg" ->
+        """SELECT l_returnflag,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS n
+           FROM lineitem GROUP BY 1 ORDER BY 1"""
+    ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+class AnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = {
+    // deterministic pseudo-random 8-dim vectors
+    (0L until 100L).map { i =>
+      val rng = new scala.util.Random(7 * i + 13)
+      i -> Array.fill(8)(rng.nextFloat() * 2 - 1)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK matches a Scala-computed exact top-k") {
+    val data = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val qid = 3L
+    val expected = data.toSeq.filter(_._1 != qid)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(data(qid), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+
+    val got = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === qid), k = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got === expected)
+  }
+
+  test("bruteForceTopK returns exactly k ranked rows per query") {
+    val out = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 4), k = 7)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L, 3L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 7))
+      // cos non-increasing with rank
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK returns a subset of candidates with exact cosines") {
+    val exact = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 4), k = 99)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val approx = Ann.lshTopK(corpus, corpus.filter(col("vec_id") < 4), k = 5,
+      planes = 3, dim = 8).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      // every approx hit carries the same (exact) cosine as brute force
+      assert(math.abs(exact(key) - r.getAs[Double]("cos")) < 1e-9)
+    }
+  }
+
+  test("hyperplane bucket is deterministic across partitionings") {
+    val withBuckets = corpus
+      .select(col("vec_id"),
+        Ann.hyperplaneBucket(col("embedding").cast("array<double>"), 6, 8)
+          .as("b"))
+    val a = withBuckets.repartition(1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = withBuckets.repartition(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.size > 1) // not all in one bucket
+  }
+}

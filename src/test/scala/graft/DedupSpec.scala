@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("exact dedup groups identical texts under one keeper") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length === 2)
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("shingles: w-gram set, degenerate short text") {
+    val df = Seq((0L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(df.head().getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = Seq((0L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(short.head().getSeq[String](0) === Seq("a b"))
+  }
+
+  test("minhash+LSH finds near-dups, skips dissimilar docs") {
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " phi chi"), // near-dup of 1
+      3L -> "totally different words nothing shared here at all friend",
+      4L -> "another unrelated document about spark and catalyst plans")
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(docs, numHashes = 32, bands = 8,
+      shingleWidth = 3, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val j = pairs.head.getAs[Double]("jaccard")
+    // shingle sets: 18 shared, |a|=18, |b|=20 → 18/20
+    assert(math.abs(j - 0.9) < 1e-6)
+  }
+
+  test("minhash signature approximates jaccard") {
+    val df = Seq(1L -> base, 2L -> (base + " phi chi")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashed(df, numHashes = 128).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    assert(math.abs(est - 0.9) < 0.15) // 128 hashes → se ≈ 0.027
+  }
+
+  test("simhash: near-dup pairs have small hamming, unrelated large") {
+    val df = Seq(
+      1L -> base, 2L -> (base + " phi"),
+      3L -> "completely disjoint vocabulary paragraph regarding databases")
+      .toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 6)
+    assert(ham(sh(1L), sh(3L)) > 10)
+  }
+
+  test("simhashDedup end-to-end") {
+    val df = Seq(
+      1L -> base, 2L -> (base + " phi"),
+      3L -> "completely disjoint vocabulary paragraph regarding databases")
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashDedup(df, maxHamming = 6).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("embedding cosine near-dup on constructed vectors") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // cos ≈ 0.995 with 1
+      (3L, Array(0.0f, 1.0f, 0.0f))) // orthogonal to 1
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(e, threshold = 0.95).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("minhash signature values are stable across partitioning") {
+    val docs = (0L until 50L).map(i => i -> s"$base token$i extra words here")
+    val a = Dedup.minhashed(docs.toDF("doc_id", "text").repartition(1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Dedup.minhashed(docs.toDF("doc_id", "text").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+  }
+}
