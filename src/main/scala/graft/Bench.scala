@@ -1,24 +1,155 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen
+import graft.operators.Extract
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":dir,
+  *  "scaling":{...}}.
+  *
+  * Part 1 — headline queries from SparkEntry at SPARK_GRAFT_SF_DIR, timed
+  * individually. Results are forced with a noop-format write (a bare
+  * count() would let Catalyst prune the computed columns away and
+  * benchmark the scan, not the operator).
+  *
+  * Part 2 — the north-rule scaling evidence: the full extraction job
+  * (parquet scan → sniff → route → extract → bucket-repartition →
+  * sortWithinPartitions → noop) over the SAME materialized transcript
+  * table at local[N] and local[4N] (N = SPARK_GRAFT_CPUS/4), the sandbox
+  * stand-in for N- vs 4N-executor clusters (per driver instruction).
+  *
+  * Measurement design — this sandbox shares its 32 vCPUs with other
+  * tenants (observed: identical runs ranging 5 s → 99 s, %steal spikes,
+  * sys-time storms at full width), so a single timing is meaningless:
+  *  - every measurement runs in a FRESH child JVM (no cross-session JIT/
+  *    GC pollution — measured 9× distortion when sessions share a JVM);
+  *  - N and 4N runs ALTERNATE across rounds so both configs sample the
+  *    same interference windows; the minimum per config estimates true
+  *    capacity;
+  *  - each child also times a pure-compute CONTROL (xxhash64 over a
+  *    range, zero allocation) — the box's own scaling ceiling. Raw
+  *    efficiency is reported alongside control efficiency and the
+  *    control-normalized ratio; on idle hardware raw ≈ normalized.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** flagship job shape: extraction + stable-ordering bucketed layout */
+  private def extractionJob(s: SparkSession, inDir: String): DataFrame =
+    Extract(s.read.parquet(inDir))
+      .repartition(64, col("conv_id"))
+      .sortWithinPartitions("conv_id", "turn_idx")
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** child-JVM entry: measure extraction (min of 2) + control (min of 2)
+    * at one core count; prints one parseable line.
+    */
+  private def scaleChild(cores: Int, inDir: String): Unit = {
+    val s = session(cores)
+    try {
+      force(Extract(s.read.parquet(inDir).limit(20000))) // JIT/codegen warm-up
+      val extractSec = (1 to 2).map(_ => time(force(extractionJob(s, inDir)))).min
+      val controlSec = (1 to 2).map(_ => time(
+        s.range(1200000000L)
+          .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))
+          .collect())).min
+      println(f"CHILD $cores $extractSec%.3f $controlSec%.3f")
+    } finally s.stop()
+  }
+
+  /** spawn a fresh JVM running scaleChild (same classpath + add-opens) */
+  private def runChild(cores: Int, inDir: String): (Double, Double) = {
+    import scala.sys.process._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-D"))
+    val cmd = Seq(
+      System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--scale-child", cores.toString, inDir)
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    require(code == 0, s"scale child (cores=$cores) failed")
+    val line = out.toString.linesIterator.find(_.startsWith("CHILD ")).get
+    val parts = line.split(' ')
+    (parts(2).toDouble, parts(3).toDouble)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--scale-child") {
+      scaleChild(args(1).toInt, args(2))
+      return
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "800000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+
+    // ---- part 1: headline queries at full parallelism
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      name -> sec
+    }
+    // materialize the scaling input ONCE (generation cost excluded from
+    // the measurement — real deployments read tables, not generators)
+    val inDir = "/tmp/graft_bench_turns"
+    TranscriptGen.inputDf(spark, scaleTurns)
+      .write.mode("overwrite").parquet(inDir)
     spark.stop()
+
+    // ---- part 2: N vs 4N scaling, alternating fresh child JVMs
+    val n = math.max(cpus / 4, 1)
+    val samples = (1 to rounds).flatMap { r =>
+      Seq(n, cpus).map { c =>
+        val (e, ctl) = runChild(c, inDir)
+        System.err.println(f"[bench] round $r local[$c]: extract $e%.2f s, control $ctl%.2f s")
+        (c, e, ctl)
+      }
+    }
+    def minFor(c: Int, f: ((Int, Double, Double)) => Double) =
+      samples.filter(_._1 == c).map(f).min
+    val tpsN = scaleTurns / minFor(n, _._2)
+    val tps4N = scaleTurns / minFor(cpus, _._2)
+    val effRaw = (tps4N / tpsN) / 4.0
+    val effControl = (minFor(n, _._3) / minFor(cpus, _._3)) / 4.0
+    val effNormalized = effRaw / effControl
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val scaling =
+      f"""{"n_cores":$n,"4n_cores":$cpus,"turns":$scaleTurns,""" +
+        f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
+        f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
+        f""""normalized_efficiency":$effNormalized%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

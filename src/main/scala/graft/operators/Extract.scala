@@ -170,7 +170,12 @@ object Extract {
     * extracted(conv_id, turn_idx, path, text, spans, confidence, status,
     * blocks_total, blocks_kept)
     */
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = apply(df, Nil)
+
+  /** As [[apply]], additionally passing through `passThrough` input
+    * columns unchanged (e.g. `ts` for event-time streaming aggregation).
+    */
+  def apply(df: DataFrame, passThrough: Seq[String]): DataFrame = {
     val raw = col("text")
     val fmt = col("__fmt")
     val staged = df
@@ -192,13 +197,14 @@ object Extract {
         .when(fmt === "tooljson", toolJsonRes(raw, col("__tj")))
         .otherwise(plainRes(raw)))
 
-    routed.select(col("conv_id"), col("turn_idx"),
+    routed.select(Seq(col("conv_id"), col("turn_idx"),
       col("__x.path").as("path"),
       col("__x.text").as("text"),
       col("__x.spans").as("spans"),
       col("__x.confidence").as("confidence"),
       col("__x.status").as("status"),
       col("__x.blocks_total").as("blocks_total"),
-      col("__x.blocks_kept").as("blocks_kept"))
+      col("__x.blocks_kept").as("blocks_kept")) ++
+      passThrough.map(col): _*)
   }
 }
