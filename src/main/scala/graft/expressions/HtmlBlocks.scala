@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,11 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (see `graft.operators.HtmlPath`), mirroring the reference's split between
   * detection and confidence-threshold routing.
   *
-  * CodegenFallback: the expression is a leaf-level scalar; whole-stage
-  * codegen resumes above it. Per-row cost is linear in payload size.
+  * Codegen: a static call into [[HtmlBlocks.evalUtf8]] — keeps the staged
+  * projection inside whole-stage codegen (CodegenFallback would break the
+  * span and route rows through the interpreted path). Per-row cost is
+  * linear in payload size.
   */
-case class HtmlBlocks(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = HtmlBlocks.outType
   override def nullIntolerant: Boolean = true
@@ -41,17 +42,23 @@ case class HtmlBlocks(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val blocks = HtmlBlocks.tokenize(s)
+  override def nullSafeEval(input: Any): Any =
+    HtmlBlocks.evalUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HtmlBlocks.evalUtf8($c)")
+}
+
+object HtmlBlocks {
+
+  /** static eval shared by interpreted and generated code paths */
+  def evalUtf8(input: UTF8String): ArrayData = {
+    val blocks = tokenize(input.toString)
     new GenericArrayData(blocks.map { b =>
       InternalRow(UTF8String.fromString(b.text), b.start, b.end,
         b.words, b.linkWords, b.boiler)
     }.toArray[Any])
   }
-}
-
-object HtmlBlocks {
 
   val blockStruct: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),

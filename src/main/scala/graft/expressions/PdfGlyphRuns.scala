@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,8 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * don't kill the job, mirroring `_validate_file_format`'s role but with
   * row-level status semantics, SURVEY S3).
   */
-case class PdfGlyphRuns(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PdfGlyphRuns(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = PdfGlyphRuns.outType
   override def nullIntolerant: Boolean = true
@@ -38,16 +37,26 @@ case class PdfGlyphRuns(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PdfGlyphRuns =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val runs = PdfGlyphRuns.parse(s)
+  override def nullSafeEval(input: Any): Any =
+    PdfGlyphRuns.evalUtf8(input.asInstanceOf[UTF8String])
+
+  /** codegen = a static call — keeps the staged projection inside
+    * whole-stage codegen instead of breaking the span (CodegenFallback
+    * would route every row through the interpreted eval path).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PdfGlyphRuns.evalUtf8($c)")
+}
+
+object PdfGlyphRuns {
+
+  /** static eval shared by interpreted and generated code paths */
+  def evalUtf8(input: UTF8String): ArrayData = {
+    val runs = parse(input.toString)
     new GenericArrayData(runs.map { r =>
       InternalRow(r.line, r.x, r.y, UTF8String.fromString(r.text), r.start, r.end)
     }.toArray[Any])
   }
-}
-
-object PdfGlyphRuns {
 
   /** y-distance above which two runs belong to different text lines */
   val RowTol = 10
