@@ -64,6 +64,31 @@ object SparkEntry {
             "\n").as("conv_text"))
     }),
 
+    // the full bucketed job: salted-bucket layout + manifest lineage
+    // (returns the per-bucket manifest rows; fresh output dir each run)
+    "x03_bucketed_job_manifest" -> ((s, _) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-x03-").toString
+      graft.plans.ExtractionJob.run(s, TranscriptGen.inputDf(s, 5000L),
+          graft.plans.ExtractionJob.Config(out, numBuckets = 16))
+        .select("bucket", "turns_processed", "blocks_dropped",
+          "parser_fallbacks", "blank_turns", "status")
+        .orderBy("bucket")
+    }),
+
+    // SQL surface: the custom tokenizers registered and used from SQL
+    "x04_sql_surface" -> ((s, _) => {
+      graft.functions.GraftFunctions.register(s)
+      TranscriptGen.inputDf(s, 2000L).createOrReplaceTempView("transcripts")
+      s.sql("""
+        SELECT conv_id, turn_idx,
+               size(html_blocks(text)) AS n_html_blocks,
+               size(pdf_glyph_runs(text)) AS n_pdf_runs
+        FROM transcripts
+        WHERE text IS NOT NULL
+        ORDER BY conv_id, turn_idx""")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
