@@ -65,10 +65,26 @@ object Bench {
   }
 
   /** child-JVM entry: measure extraction (min of 2) + control (min of 2)
-    * at one core count; prints one parseable line.
+    * at one core count; prints one parseable line. Shuffle scratch goes
+    * to tmpfs when available: the sandbox's single shared /tmp disk is a
+    * non-scaling resource that a multi-node cluster would not share, so
+    * leaving shuffle on it measures the disk, not the engine.
     */
   private def scaleChild(cores: Int, inDir: String): Unit = {
-    val s = session(cores)
+    val scratch = new java.io.File(s"/dev/shm/graft-shuffle-$cores")
+    val localDir =
+      if (new java.io.File("/dev/shm").canWrite) { scratch.mkdirs(); scratch.getPath }
+      else System.getProperty("java.io.tmpdir")
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-child-$cores")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
     try {
       force(Extract(s.read.parquet(inDir).limit(20000))) // JIT/codegen warm-up
       val extractSec = (1 to 2).map(_ => time(force(extractionJob(s, inDir)))).min
@@ -77,16 +93,25 @@ object Bench {
           .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))
           .collect())).min
       println(f"CHILD $cores $extractSec%.3f $controlSec%.3f")
-    } finally s.stop()
+    } finally {
+      s.stop()
+      if (scratch.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(scratch)
+      }
+    }
   }
 
   /** spawn a fresh JVM running scaleChild (same classpath + add-opens) */
   private def runChild(cores: Int, inDir: String): (Double, Double) = {
     import scala.sys.process._
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("-Xmx") || a.startsWith("-D"))
+        a.startsWith("-D")) :+ s"-Xmx$childMem"
     val cmd = Seq(
       System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{HtmlBlocks, PdfGlyphRuns, VecDot}
+
+/** SparkSessionExtensions entry point — the idiomatic way to ship this
+  * library's custom expressions into any session, including pure-SQL
+  * ones:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Injects `html_blocks`, `pdf_glyph_runs` and `vec_dot` into the
+  * function registry (session-independent, catalog-visible — unlike the
+  * temp-function fallback in [[graft.functions.GraftFunctions.register]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("html_blocks"),
+      info("html_blocks",
+        "html_blocks(text) - tokenizes HTML into content blocks with spans and link-density features"),
+      (children: Seq[Expression]) => HtmlBlocks(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pdf_glyph_runs"),
+      info("pdf_glyph_runs",
+        "pdf_glyph_runs(text) - parses glyph-run payloads into line-clustered runs with spans"),
+      (children: Seq[Expression]) => PdfGlyphRuns(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot",
+        "vec_dot(a, b) - allocation-free dot product of two array<double> columns"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+  }
+}
