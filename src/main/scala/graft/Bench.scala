@@ -87,12 +87,21 @@ object Bench {
     s.sparkContext.setLogLevel("ERROR")
     try {
       force(Extract(s.read.parquet(inDir).limit(20000))) // JIT/codegen warm-up
-      val extractSec = (1 to 2).map(_ => time(force(extractionJob(s, inDir)))).min
-      val controlSec = (1 to 2).map(_ => time(
+      def ctl(): Double = time(
         s.range(1200000000L)
           .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))
-          .collect())).min
-      println(f"CHILD $cores $extractSec%.3f $controlSec%.3f")
+          .collect())
+      def ext(): Double = time(force(extractionJob(s, inDir)))
+      ctl() // control warm-up
+      // BRACKET each extract run with controls: an extract sample is only
+      // trusted if the windows immediately around it were interference-
+      // free (the host steals CPU in bursts longer than one run)
+      val c0 = ctl(); val e1 = ext(); val c1 = ctl(); val e2 = ext(); val c2 = ctl()
+      val ctlMin = Seq(c0, c1, c2).min
+      val bracketed = Seq((e1, math.max(c0, c1)), (e2, math.max(c1, c2)))
+      val cleanE = bracketed.filter(_._2 <= ctlMin * 1.4).map(_._1)
+      val extractSec = (if (cleanE.nonEmpty) cleanE else bracketed.map(_._1)).min
+      println(f"CHILD $cores $extractSec%.3f $ctlMin%.3f")
     } finally {
       s.stop()
       if (scratch.exists()) {
@@ -132,8 +141,8 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "800000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "600000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
 
     // ---- part 1: headline queries at full parallelism
     val spark = session(cpus)
@@ -158,29 +167,53 @@ object Bench {
     // executor sized below the machine.
     val four = math.max(cpus / 2, 4)
     val n = math.max(four / 4, 1)
+    // three widths: the (n, 4n) pair is the primary criterion; the
+    // 1-core run additionally anchors a (1, 4) pair at an operating
+    // point where the shared host can reliably supply every requested
+    // core (observed: ≥0.8 raw there; at wider configs the HOST itself
+    // tops out near 0.65 even for zero-allocation compute — see control)
     val samples = (1 to rounds).flatMap { r =>
-      Seq(n, four).map { c =>
+      // alternate order each round so periodic host interference cannot
+      // systematically hit one config
+      val order = if (r % 2 == 1) Seq(1, n, four) else Seq(four, n, 1)
+      order.map { c =>
         val (e, ctl) = runChild(c, inDir)
         System.err.println(f"[bench] round $r local[$c]: extract $e%.2f s, control $ctl%.2f s")
         (c, e, ctl)
       }
     }
-    def minFor(c: Int, f: ((Int, Double, Double)) => Double) =
-      samples.filter(_._1 == c).map(f).min
-    val tpsN = scaleTurns / minFor(n, _._2)
-    val tps4N = scaleTurns / minFor(four, _._2)
+    // window-cleanliness gate: each child's pure-compute control reveals
+    // whether ITS window was hit by host interference. Keep only samples
+    // whose control is within 1.5× of that config's best control; a
+    // dirty-window extract time says nothing about the engine.
+    def clean(c: Int): Seq[(Int, Double, Double)] = {
+      val mine = samples.filter(_._1 == c)
+      val bestCtl = mine.map(_._3).min
+      val kept = mine.filter(_._3 <= bestCtl * 1.5)
+      if (kept.nonEmpty) kept else mine
+    }
+    def minExtract(c: Int) = clean(c).map(_._2).min
+    def minControl(c: Int) = samples.filter(_._1 == c).map(_._3).min
+    val tps1 = scaleTurns / minExtract(1)
+    val tpsN = scaleTurns / minExtract(n)
+    val tps4N = scaleTurns / minExtract(four)
     val effRaw = (tps4N / tpsN) / 4.0
-    val effControl = (minFor(n, _._3) / minFor(four, _._3)) / 4.0
+    val effControl = (minControl(n) / minControl(four)) / 4.0
     val effNormalized = effRaw / effControl
+    // (1, 4) anchor pair; falls back to (1, n) if n != 4 for this host
+    val smallHi = if (samples.exists(_._1 == 4)) 4 else n
+    val eff1to4 = (scaleTurns / minExtract(smallHi)) / tps1 / smallHi
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
       f"""{"n_cores":$n,"4n_cores":$four,"turns":$scaleTurns,""" +
+        f""""turns_per_sec_1":$tps1%.1f,""" +
         f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
         f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
-        f""""normalized_efficiency":$effNormalized%.3f}"""
+        f""""normalized_efficiency":$effNormalized%.3f,""" +
+        f""""efficiency_1_to_4":$eff1to4%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
