@@ -113,8 +113,11 @@ object Bench {
     }
   }
 
-  /** spawn a fresh JVM running scaleChild (same classpath + add-opens) */
-  private def runChild(cores: Int, inDir: String): (Double, Double) = {
+  /** spawn a fresh JVM running scaleChild (same classpath + add-opens);
+    * failures are reported, not thrown — one bad child must not cost the
+    * whole benchmark line.
+    */
+  private def runChild(cores: Int, inDir: String): Option[(Double, Double)] = {
     import scala.sys.process._
     val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -125,12 +128,19 @@ object Bench {
       System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--scale-child", cores.toString, inDir)
-    val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-    require(code == 0, s"scale child (cores=$cores) failed")
-    val line = out.toString.linesIterator.find(_.startsWith("CHILD ")).get
-    val parts = line.split(' ')
-    (parts(2).toDouble, parts(3).toDouble)
+    try {
+      val out = new StringBuilder
+      val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      for {
+        _ <- Some(()) if code == 0
+        line <- out.toString.linesIterator.find(_.startsWith("CHILD "))
+        parts = line.split(' ')
+      } yield (parts(2).toDouble, parts(3).toDouble)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child local[$cores] failed: ${e.getMessage}")
+        None
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,7 +152,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "600000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
     // ---- part 1: headline queries at full parallelism
     val spark = session(cpus)
@@ -154,8 +164,15 @@ object Bench {
     // materialize the scaling input ONCE (generation cost excluded from
     // the measurement — real deployments read tables, not generators)
     val inDir = "/tmp/graft_bench_turns"
-    TranscriptGen.inputDf(spark, scaleTurns)
-      .write.mode("overwrite").parquet(inDir)
+    val inputReady =
+      try {
+        TranscriptGen.inputDf(spark, scaleTurns)
+          .write.mode("overwrite").parquet(inDir)
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scaling input write failed: ${e.getMessage}")
+        false
+      }
     spark.stop()
 
     // ---- part 2: N vs 4N scaling, alternating fresh child JVMs.
@@ -172,14 +189,15 @@ object Bench {
     // point where the shared host can reliably supply every requested
     // core (observed: ≥0.8 raw there; at wider configs the HOST itself
     // tops out near 0.65 even for zero-allocation compute — see control)
-    val samples = (1 to rounds).flatMap { r =>
+    val samples = (1 to (if (inputReady) rounds else 0)).flatMap { r =>
       // alternate order each round so periodic host interference cannot
       // systematically hit one config
       val order = if (r % 2 == 1) Seq(1, n, four) else Seq(four, n, 1)
-      order.map { c =>
-        val (e, ctl) = runChild(c, inDir)
-        System.err.println(f"[bench] round $r local[$c]: extract $e%.2f s, control $ctl%.2f s")
-        (c, e, ctl)
+      order.flatMap { c =>
+        runChild(c, inDir).map { case (e, ctl) =>
+          System.err.println(f"[bench] round $r local[$c]: extract $e%.2f s, control $ctl%.2f s")
+          (c, e, ctl)
+        }
       }
     }
     // window-cleanliness gate: each child's pure-compute control reveals
@@ -194,15 +212,18 @@ object Bench {
     }
     def minExtract(c: Int) = clean(c).map(_._2).min
     def minControl(c: Int) = samples.filter(_._1 == c).map(_._3).min
-    val tps1 = scaleTurns / minExtract(1)
-    val tpsN = scaleTurns / minExtract(n)
-    val tps4N = scaleTurns / minExtract(four)
-    val effRaw = (tps4N / tpsN) / 4.0
-    val effControl = (minControl(n) / minControl(four)) / 4.0
-    val effNormalized = effRaw / effControl
+    def safe(f: => Double): Double =
+      try { val v = f; if (v.isNaN || v.isInfinite) -1.0 else v }
+      catch { case _: Throwable => -1.0 }
+    val tps1 = safe(scaleTurns / minExtract(1))
+    val tpsN = safe(scaleTurns / minExtract(n))
+    val tps4N = safe(scaleTurns / minExtract(four))
+    val effRaw = safe((tps4N / tpsN) / 4.0)
+    val effControl = safe((minControl(n) / minControl(four)) / 4.0)
+    val effNormalized = safe(effRaw / effControl)
     // (1, 4) anchor pair; falls back to (1, n) if n != 4 for this host
     val smallHi = if (samples.exists(_._1 == 4)) 4 else n
-    val eff1to4 = (scaleTurns / minExtract(smallHi)) / tps1 / smallHi
+    val eff1to4 = safe((scaleTurns / minExtract(smallHi)) / tps1 / smallHi)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
