@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Extract
+
+/** Text-domain mirror of the reference's stress/perturbation matrix
+  * (`stress_test.py:107-154`: 22 degraded variants per document;
+  * `robustness_evaluation.py`: degradation × severity grid). Each clean
+  * payload is run through a grid of degradations; extraction must never
+  * throw, must keep spans valid, must keep boilerplate out, and
+  * confidence must not IMPROVE under degradation (the analog of
+  * `confidence_analysis.py`'s confidence↔accuracy direction check).
+  */
+class PerturbationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val contentWords =
+    "the market opens every morning with fresh bread and warm coffee for travelers"
+
+  private val cleanHtml =
+    s"<html><body><nav>Home | About | Contact</nav>" +
+      s"<p>$contentWords</p>" +
+      s"<footer>Copyright 2026 Example Corp All Rights Reserved</footer></body></html>"
+
+  private val cleanPdf =
+    "%PDF-1.4\nG 10 20 12 hello\nG 80 20 12 world\nG 10 40 12 second\nG 80 40 12 line"
+
+  private val cleanPlain = "reading 1234 units at station 42"
+
+  // ---- degradations (text analogs of JPEG-quality / scale / noise)
+
+  private def entityEncode(s: String): String =
+    s.replace("a", "&#97;").replace("e", "&#101;")
+
+  private def whitespaceMangle(s: String): String =
+    s.replace(" ", "  \t ")
+
+  private def truncate(s: String): String = s.take(s.length / 2)
+
+  private def unclose(s: String): String = s.replace("</p>", "")
+
+  private def confuse(s: String): String =
+    s.replace('1', 'l').replace('0', 'O').replace('2', 'Z')
+
+  private def boilerWrap(s: String): String =
+    s"<div><aside>ad ad ad buy now</aside>$s<nav>more links here</nav></div>"
+
+  private def extractOne(text: String): Row =
+    Extract(Seq(("c", 0, "user", text, null: String)).toDF(
+      "conv_id", "turn_idx", "role", "text", "tool")).head()
+
+  private val htmlVariants: Seq[(String, String)] = Seq(
+    "clean" -> cleanHtml,
+    "entities" -> entityEncode(cleanHtml),
+    "whitespace" -> whitespaceMangle(cleanHtml),
+    "unclosed" -> unclose(cleanHtml),
+    "truncated" -> truncate(cleanHtml),
+    "boiler_wrapped" -> boilerWrap(cleanHtml))
+
+  test("no variant throws; statuses stay in the contract set") {
+    val all = htmlVariants.map(_._2) ++ Seq(
+      confuse(cleanPlain), whitespaceMangle(cleanPlain), truncate(cleanPdf),
+      whitespaceMangle(cleanPdf), entityEncode(cleanPlain), "", "   \t\n")
+    all.foreach { v =>
+      val r = extractOne(v)
+      assert(Set("success", "fallback", "blank").contains(r.getAs[String]("status")))
+    }
+  }
+
+  test("spans stay inside the raw payload for every variant") {
+    val all = htmlVariants.map(_._2) ++ Seq(confuse(cleanPlain), truncate(cleanPdf))
+    all.foreach { v =>
+      val r = extractOne(v)
+      r.getSeq[Row](r.fieldIndex("spans")).foreach { s =>
+        val (st, en) = (s.getInt(0), s.getInt(1))
+        assert(st >= 0 && st < en && en <= v.length, s"bad span ($st,$en) for: $v")
+      }
+    }
+  }
+
+  test("boilerplate never leaks into extracted text") {
+    htmlVariants.foreach { case (name, v) =>
+      val txt = extractOne(v).getAs[String]("text")
+      assert(!txt.contains("Copyright"), s"$name leaked footer")
+      assert(!txt.contains("Home |"), s"$name leaked nav")
+      assert(!txt.contains("buy now"), s"$name leaked aside")
+    }
+  }
+
+  test("content survives entity encoding, whitespace mangling, wrappers") {
+    for (name <- Seq("clean", "entities", "whitespace", "boiler_wrapped", "unclosed")) {
+      val v = htmlVariants.toMap.apply(name)
+      val txt = extractOne(v).getAs[String]("text")
+      assert(txt.contains("fresh bread"), s"$name lost content: $txt")
+    }
+  }
+
+  test("degraded confidence never exceeds clean confidence (html)") {
+    val clean = extractOne(cleanHtml).getAs[Double]("confidence")
+    htmlVariants.foreach { case (name, v) =>
+      val c = extractOne(v).getAs[Double]("confidence")
+      assert(c <= clean + 1e-9, s"$name confidence $c > clean $clean")
+    }
+  }
+
+  test("plain path repairs injected char confusions (stress analog of X6)") {
+    val out = extractOne(confuse(cleanPlain)).getAs[String]("text")
+    assert(out === "reading 1234 units at station 42")
+  }
+
+  test("pdf path degrades to fallback on malformed runs, keeps parsed ones") {
+    val broken = "%PDF-1.4\nG 10 20 12 hello\nG bad line\nnot a run"
+    val r = extractOne(broken)
+    assert(r.getAs[String]("path") === "pdf")
+    assert(r.getAs[String]("status") === "fallback")
+    assert(r.getAs[String]("text") === "hello")
+    assert(r.getAs[Double]("confidence") < 1.0)
+  }
+
+  test("truncated pdf keeps reading order of surviving runs") {
+    val r = extractOne(cleanPdf)
+    assert(r.getAs[String]("text") === "hello world\nsecond line")
+  }
+}
