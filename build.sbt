@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through UNDECORATED: sbt's default log decoration
+// wraps every line as "[info] ..." which broke the driver's parse of the
+// Bench JSON line in round 1 (BENCH_r01.json parsed:null).
+// (unscoped so both `run` and the driver's `runMain` delegate to it)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -235,7 +235,15 @@ object Bench {
         f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
         f""""normalized_efficiency":$effNormalized%.3f,""" +
         f""""efficiency_1_to_4":$eff1to4%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    println(line)
+    // sidecar copy: belt-and-braces against stdout decoration/truncation
+    // (r1 lost the line to sbt's [info] prefix — BENCH_r01.json parsed:null)
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
   }
 }

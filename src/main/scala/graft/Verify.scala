@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.to_json
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -16,9 +18,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Nested columns (array/struct/map) arrive in the driver's pandas
+        // compare as per-cell ndarrays and crash its sort/factorize hash
+        // (the r1 x01 TypeError). Serialize them to JSON strings — the
+        // rows-only/hash checks then operate on stable scalar values.
+        val flat = df.select(df.schema.fields.map { f =>
+          f.dataType match {
+            case _: ArrayType | _: StructType | _: MapType =>
+              to_json(df.col(f.name)).as(f.name)
+            case _ => df.col(f.name)
+          }
+        }.toSeq: _*)
+        flat.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -34,7 +49,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its report by output FILENAME (<name>.parquet, per
+    // CORRECTNESS_r01.json) while queries are keyed by bare name — emit
+    // BOTH key forms so the lookup hits either way.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
