@@ -89,6 +89,22 @@ object SparkEntry {
         ORDER BY conv_id, turn_idx""")
     }),
 
+    // KIE field extraction (SURVEY X1-X10): regex fallback chains with
+    // OCR-tolerant classes over deterministic synthetic bills derived
+    // from the documents table; DuckDB oracle generated from the SAME
+    // pattern tables (FieldExtract.oracle)
+    "x05_field_extract" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      graft.operators.FieldExtract.withFields(
+          graft.gen.BillGen.withBill(docs))
+        .select("doc_id", "electricity_kwh", "carbon_kgco2e", "elec_conf",
+          "carbon_conf", "used_kie", "valid", "account_number", "bill_date",
+          "billing_start_date", "billing_end_date", "current_reading",
+          "previous_reading", "peak_demand", "adv_electricity", "adv_carbon")
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
@@ -287,6 +303,9 @@ object SparkEntry {
     val flat =
       "SELECT vec_id, generate_subscripts(embedding,1) AS i, unnest(embedding) AS x FROM embeddings"
     Map(
+      "x05_field_extract" ->
+        graft.operators.FieldExtract.oracle(graft.gen.BillGen.billSql),
+
       "t01_text_analysis" -> TextAnalysis.oracle,
 
       "t02_exact_dedup" ->

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.FieldExtract
+
+/** Golden cases for the KIE field-extraction operator, mirroring the
+  * reference's ground truth `{electricity_kwh: 299, carbon_kgco2e: 120}`
+  * (`run_comprehensive_tests.py:33-36`) and its degraded-input recovery
+  * expectations (`stress_test.py:183-186`).
+  */
+class FieldExtractSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def extract(texts: String*): Seq[Row] =
+    FieldExtract.withFields(
+      texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "bill"))
+      .orderBy("id")
+      .collect()
+      .toSeq
+
+  private def ec(r: Row): (Any, Any) =
+    (r.getAs[Any]("electricity_kwh"), r.getAs[Any]("carbon_kgco2e"))
+
+  test("clean DEWA-style bill extracts the golden 299/120") {
+    val Seq(r) = extract(
+      "Your consumption this month: Electricity 299 kWh for the period. " +
+        "The Carbon Footprint of your usage is 120 Kg CO2e as measured.")
+    assert(ec(r) === ((299, 120)))
+    assert(r.getAs[Boolean]("valid"))
+    assert(r.getAs[Double]("elec_conf") === 0.9)
+    assert(r.getAs[Double]("carbon_conf") === 0.85)
+  }
+
+  test("OCR-degraded bill recovers via preprocess + KIE (Electrlcity / coze / l20)") {
+    // word misspelling kills the simple Electricity patterns; "Kg coze l20"
+    // kills all simple carbon patterns; the KIE path must normalize
+    // (Electrlcity→Electricity, coze→CO2e, l20→120) and re-score
+    val Seq(r) = extract(
+      "Electrlcity 299 kWh recorded this cycle xxxxxx xxxxx xxxxxxx " +
+        "Kg coze l20 footprint noted")
+    assert(ec(r) === ((299, 120)))
+    assert(r.getAs[Boolean]("used_kie"))
+    assert(r.getAs[Double]("carbon_conf") === 0.8)
+  }
+
+  test("positional corrections re-extract in phase 3 (I23 -> 123)") {
+    val Seq(r) = extract("Electricity I23 kWh consumption this month")
+    assert(r.getAs[Any]("electricity_kwh") === 123)
+  }
+
+  test("range guards reject out-of-range values (F4)") {
+    val Seq(r) = extract(
+      "Electricity 30 kWh xxxxxx xxxxx xxxxxxx xxxxx xxxxxxx 5 kg CO2e")
+    assert(ec(r) === ((null, null)))
+  }
+
+  test("cross-field ratio validation flags OCR hallucinations") {
+    val Seq(r) = extract(
+      "Electricity 10000 kWh xxxxxx xxxxx xxxxxxx xxxxx 20 kg CO2e")
+    assert(ec(r) === ((10000, 20)))
+    assert(!r.getAs[Boolean]("valid"))
+  }
+
+  test("mobile string fields: account, dates, period, readings, peak") {
+    val Seq(r) = extract(
+      "Account No: 2000123456 Bill Date: 15/06/2024 " +
+        "From: 01/06/2024 To: 30/06/2024 Current Reading: 45230 " +
+        "Previous Reading: 44980 Peak Demand: 9.5 kW")
+    assert(r.getAs[String]("account_number") === "2000123456")
+    assert(r.getAs[String]("bill_date") === "15/06/2024")
+    assert(r.getAs[String]("billing_start_date") === "01/06/2024")
+    assert(r.getAs[String]("billing_end_date") === "30/06/2024")
+    assert(r.getAs[String]("current_reading") === "45230")
+    assert(r.getAs[String]("previous_reading") === "44980")
+    assert(r.getAs[String]("peak_demand") === "9.5")
+  }
+
+  test("advanced X1 chain: keyword-anchored spaced-unit kWh with commas") {
+    val Seq(r) = extract("Total consumption was 1,234 k W h this quarter")
+    assert(r.getAs[Any]("adv_electricity") === 1234)
+  }
+
+  test("comma-grouped values normalize (1,234 kWh -> 1234)") {
+    val Seq(r) = extract(
+      "Total 1,234 kWh xxxxxx xxxxx xxxxxxx xxxxx 400 kg CO2e")
+    assert(ec(r) === ((1234, 400)))
+  }
+
+  test("first-match-wins ordering: kWh-anchored pattern beats later keywords") {
+    val Seq(r) = extract(
+      "usage: 77 something xxxxxx xxxxx xxxxxxx 555 kWh total here and " +
+        "60 kg CO2e xxx")
+    // E1 (number + kWh) precedes the usage pattern in the chain
+    assert(r.getAs[Any]("electricity_kwh") === 555)
+  }
+
+  test("normaliseNumber handles OCR glyphs (X9)") {
+    val df = Seq("l2O", "2,9 9", "g8", "xx").toDF("s")
+      .select(FieldExtract.normaliseNumber($"s").as("v"))
+    assert(df.collect().map(_.getAs[Any]("v")).toSeq === Seq(120, 299, 98, null))
+  }
+
+  test("blank and hostile payloads yield all-null fields, no errors") {
+    val rs = extract("", "   ", "no numbers here at all",
+      "999999999999999999999999 kWh overflow-safe")
+    assert(rs.forall(r => r.getAs[Any]("electricity_kwh") == null))
+  }
+}
