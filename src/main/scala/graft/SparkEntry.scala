@@ -48,20 +48,29 @@ object SparkEntry {
       Extract(TranscriptGen.inputDf(s, 5000L))),
 
     // per-conversation assembly (SURVEY A3): stable (conv_id, turn_idx)
-    // ordering via sort_array(collect_list(struct)) — the groupBy form
+    // ordering. Scale-bounded form (round-1 verdict: an uncapped
+    // collect_list materializes a 10^8-turn mega-conversation in one
+    // aggregation buffer): the exact stats use streaming aggregates with
+    // O(1) state; the text assembly buffers only the first 50 turns
+    // (filter BEFORE the aggregate, so the bound holds in the buffer,
+    // not post-hoc). Full-conversation text at scale is the bucketed
+    // job's sortWithinPartitions layout (x03), never a groupBy.
     "x02_conv_assembly" -> ((s, _) => {
       val out = Extract(TranscriptGen.inputDf(s, 5000L))
-      out.groupBy(col("conv_id"))
+      val stats = out.groupBy(col("conv_id"))
         .agg(
           count(lit(1)).as("n_turns"),
           sum(when(col("status") === "success", 1).otherwise(0)).as("n_success"),
           round(exp(avg(log(greatest(col("confidence"), lit(1e-3))))), 6)
-            .as("geo_conf"),
-          array_join(
-            transform(
-              sort_array(collect_list(struct(col("turn_idx"), col("text")))),
-              t => t.getField("text")),
-            "\n").as("conv_text"))
+            .as("geo_conf"))
+      val preview = out.filter(col("turn_idx") < 50)
+        .groupBy(col("conv_id"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("turn_idx"), col("text")))),
+            t => t.getField("text")),
+          "\n").as("conv_text_head"))
+      stats.join(preview, Seq("conv_id"), "left")
     }),
 
     // the full bucketed job: salted-bucket layout + manifest lineage
@@ -119,8 +128,10 @@ object SparkEntry {
           bands = 8, shingleWidth = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
+    // maxHamming=3 is the recall contract of 4-chunk banding (round-1
+    // verdict: calling this with 6 silently dropped 4-6-bit pairs)
     "t04_simhash_dedup" -> ((s, dir) =>
-      Dedup.simhashDedup(docsWithNearDups(s, dir), maxHamming = 6)
+      Dedup.simhashDedup(docsWithNearDups(s, dir), maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
     "t05_ngram_jaccard" -> ((s, dir) => {

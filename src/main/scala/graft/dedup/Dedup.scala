@@ -35,14 +35,20 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** w-token shingles of the whitespace-tokenized text, as a distinct array. */
+  /** w-token shingles of the whitespace-tokenized text. Deliberately a
+    * MULTISET (no array_distinct — measured O(n²) per row): every
+    * consumer is duplicate-invariant — `array_min` over permuted hashes
+    * (minhash) ignores duplicates, and `array_intersect`/`array_union`
+    * (Jaccard verify) de-duplicate internally, so set semantics are
+    * preserved end-to-end.
+    */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
     when(n < w, array(array_join(toks, " ")))
-      .otherwise(array_distinct(
+      .otherwise(
         transform(sequence(lit(1), n - (w - 1)),
-          i => array_join(slice(toks, i, lit(w)), " "))))
+          i => array_join(slice(toks, i, lit(w)), " ")))
   }
 
   // ------------------------------------------------------------- minhash
@@ -110,16 +116,11 @@ object Dedup {
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-  /** Exact n-gram Jaccard verification of candidate pairs: join the
-    * (distinct) shingle arrays back in — only for candidates — and compute
-    * |∩|/|∪| per pair with array intersection, no extra shuffle beyond the
-    * two id-joins.
+  /** Exact n-gram Jaccard over a STAGED (doc_id, sh) shingle frame — the
+    * verify step reads pre-computed shingle arrays, it never re-tokenizes.
     */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, w: Int = 3,
-      threshold: Double = 0.7, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), w).as("sh"))
+  def jaccardVerifyStaged(pairs: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("la.sh"), col("rb.sh")))
     val uni = size(array_union(col("la.sh"), col("rb.sh")))
     pairs
@@ -130,30 +131,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** staged shingle frame: (doc_id, sh) */
+  def shingled(docs: DataFrame, w: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), w).as("sh"))
+
+  /** Exact n-gram Jaccard verification of candidate pairs (convenience
+    * form computing shingles from text — prefer the staged form when the
+    * shingle frame already exists).
+    */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, w: Int = 3,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    jaccardVerifyStaged(pairs, shingled(docs, w, textCol, idCol), threshold)
+
   /** End-to-end MinHash+LSH near-dup detection: signature → bands →
     * candidates → exact-Jaccard verify.
+    *
+    * Scale discipline (round-2 fixes of the round-1 plan):
+    *  - the candidate set is MATERIALIZED (it is tiny after banding), the
+    *    banded cache is released immediately after, and the verify joins
+    *    read shingles only for semi-joined candidate ids — the full
+    *    corpus is never re-shingled on either join side;
+    *  - `maxBucket > 0` drops degenerate hot band buckets (near-identical
+    *    boilerplate corpora otherwise go quadratic inside one bucket) —
+    *    the standard LSH-dedup guard; 0 keeps every bucket.
     */
   def minhashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      shingleWidth: Int = 3, threshold: Double = 0.7): DataFrame = {
+      shingleWidth: Int = 3, threshold: Double = 0.7,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashed(docs, numHashes, shingleWidth)
-    // the band self-join references the signature pipeline twice; persist
-    // so signatures are computed once (at cluster scale: checkpoint to a
-    // signature table instead)
-    val banded = lshBands(sigs, bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(banded)
-    jaccardVerify(cand, docs, shingleWidth, threshold)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The operator runs EAGERLY with an explicit cache lifecycle: shingle
+    // arrays are computed ONCE (cached), referenced by the signature
+    // pipeline and by both verify join sides, and every intermediate
+    // cache is released before returning — only the (tiny) verified pair
+    // set stays cached. A cluster-scale job would checkpoint sh/cand to
+    // tables instead; the lifecycle is the same.
+    val sh = shingled(docs, shingleWidth).persist(disk)
+    val sigs = sh
+      .withColumn("__base", transform(col("sh"), s => pmod(xxhash64(s), lit(P31))))
+      .select(col("doc_id"), minhashSignature(col("__base"), numHashes).as("sig"))
+    val banded0 = lshBands(sigs, bands, numHashes / bands)
+    val banded = (if (maxBucket > 0) {
+      val keep = banded0.groupBy("band_idx", "band_hash")
+        .count().filter(col("count") <= maxBucket)
+        .select("band_idx", "band_hash")
+      banded0.join(keep, Seq("band_idx", "band_hash"), "left_semi")
+    } else banded0).persist(disk)
+    // materialize the band cache BEFORE the self-join references it twice:
+    // a cold cache makes the join's build and probe sides race and both
+    // recompute the whole signature pipeline
+    banded.count()
+    val cand = candidatePairs(banded).persist(disk)
+    cand.count() // force candidates, then free the (much larger) band cache
+    banded.unpersist()
+    val ids = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val result = jaccardVerifyStaged(cand,
+        sh.join(ids, Seq("doc_id"), "left_semi"), threshold)
+      .persist(disk)
+    result.count()
+    sh.unpersist()
+    cand.unpersist()
+    result
   }
 
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of each token's
-    * xxhash64 bits, assembled into one long. Pure per-row expression
-    * (64 × n_tokens bit tests inside codegen — no shuffle, no UDF).
+    * xxhash64 bits, assembled into one long. Native single-pass
+    * expression ([[graft.expressions.Simhash]]); the declarative
+    * [[simhashFromHashes]] form is retained as the semantic spec and
+    * cross-checked in DedupSpec.
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(tokenHashes(text))
+    column(graft.expressions.Simhash(expr(text)))
 
   /** per-token xxhash64 array — stage this as its own column before
     * calling [[simhashFromHashes]] so the 64 bit-vote passes read an
@@ -176,15 +229,17 @@ object Dedup {
     }.reduce((a, c) => a.bitwiseOR(c))
 
   /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit chunks
-    * (any equal chunk ⇒ candidate, guaranteeing recall for hamming ≤ 3),
-    * then verify hamming distance via bit_count(xor).
+    * (any equal chunk ⇒ candidate — the pigeonhole guarantee holds ONLY
+    * for hamming ≤ 3, hence the require), then verify hamming distance
+    * via bit_count(xor). For a larger hamming bound, band into
+    * `maxHamming + 1` chunks instead.
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-chunk banding guarantees recall only for hamming <= 3 (got $maxHamming)")
     val sigs = docs
-      .withColumn("__hs", tokenHashes(col(textCol)))
-      .select(col(idCol).as("doc_id"),
-        simhashFromHashes(col("__hs")).as("sh"))
+      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("chunk")))
@@ -224,19 +279,46 @@ object Dedup {
       normB: Column): Column =
     dot(a, b) / (normA * normB)
 
-  /** Embedding-cosine near-dup pairs (a<b) with cosine ≥ threshold.
-    * At test scale this is the exact all-pairs form (one shuffle of the
-    * compact (id, vector) projection); at 100 TB swap the self-join for
-    * [[graft.similarity.Ann.lshTopK]]'s hyperplane-bucketed candidates —
-    * same verify expression.
+  /** Embedding-cosine near-dup pairs (a<b) with cosine ≥ threshold —
+    * EXACT results via a block-partitioned all-pairs join (the standard
+    * distributed triangle join), replacing round 1's broadcast-nested-
+    * loop cartesian:
+    *
+    *  - every vector gets a block id `blk = pmod(hash(id), B)`;
+    *  - the left side replicates each vector to block-pair keys
+    *    (blk, j≥blk), the right side to (i≤blk, blk) — each unordered
+    *    block pair meets in EXACTLY one equi-join task, so the O(n²)
+    *    comparison work spreads over B(B+1)/2 shuffle keys instead of a
+    *    nested loop over one broadcast copy;
+    *  - replication is ~B copies of the compact (id, vec, norm) row;
+    *    pick B ≈ √(desired tasks). Norms are staged per vector before
+    *    the join, never per pair.
+    *
+    * Exactness matters here because the oracle (and the semantics) is
+    * all pairs ≥ threshold at ANY threshold — hyperplane-LSH candidates
+    * ([[graft.similarity.Ann.lshTopK]]) cannot guarantee recall at
+    * moderate thresholds (0.4 ⇒ per-plane agreement only 0.63). For the
+    * 10^12-vector regime where exact all-pairs is off the table, use the
+    * ANN path with a high threshold and accept approximate recall.
     */
   def embeddingNearDup(embs: DataFrame, threshold: Double = 0.95,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      blocks: Int = 8): DataFrame = {
     val v = embs
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val left = v.withColumn("bj",
+      explode(sequence(col("blk"), lit(blocks - 1))))
+    val right = v.withColumn("bi",
+      explode(sequence(lit(0), col("blk"))))
+    left.as("l").join(right.as("r"),
+        col("l.blk") === col("r.bi") && col("l.bj") === col("r.blk") &&
+          (col("l.blk") =!= col("r.blk") ||
+            col("l.vec_id") < col("r.vec_id")))
+      .select(
+        least(col("l.vec_id"), col("r.vec_id")).as("a_id"),
+        greatest(col("l.vec_id"), col("r.vec_id")).as("b_id"),
         round(cosinePrenormed(col("l.v"), col("r.v"),
           col("l.norm"), col("r.norm")), 6).as("cos"))
       .filter(col("cos") >= threshold)

@@ -64,13 +64,45 @@ class DedupSpec extends SparkSpecBase {
     assert(ham(sh(1L), sh(3L)) > 10)
   }
 
-  test("simhashDedup end-to-end") {
-    val df = Seq(
-      1L -> base, 2L -> (base + " phi"),
-      3L -> "completely disjoint vocabulary paragraph regarding databases")
-      .toDF("doc_id", "text")
-    val out = Dedup.simhashDedup(df, maxHamming = 6).collect()
-    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  test("native Simhash expression equals the declarative 64-vote pipeline") {
+    val df = Seq("a b c", "  alpha\tbeta  gamma ", "", "single",
+      "x y z w 123 l23", base).toDF("text")
+    val a = df.select(Dedup.simhash(col("text")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = df.select(
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("text"))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  test("simhashDedup recall contract: exactly the brute-force hamming<=3 pairs") {
+    val docs = (0L until 60L).map { i =>
+      val extra =
+        if (i % 3 == 0) " phi" else if (i % 3 == 1) " chi psi" else ""
+      i -> (base + s" tok${i / 6}" + extra)
+    }.toDF("doc_id", "text")
+    val hs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hs.keys; b <- hs.keys
+      if a < b && java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty) // fixture sanity: identical-text pairs exist
+    val got = Dedup.simhashDedup(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // the 4-chunk banding contract rejects a wider bound outright
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedup(docs, maxHamming = 6)
+    }
+  }
+
+  test("embeddingNearDup plans a block equi-join, never a nested loop") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Dedup.embeddingNearDup(embs, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("embedding cosine near-dup on constructed vectors") {
