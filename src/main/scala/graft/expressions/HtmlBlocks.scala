@@ -87,9 +87,17 @@ object HtmlBlocks {
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
     "apos" -> '\'', "nbsp" -> ' ')
 
+  /** hard cap on emitted blocks per payload (reference
+    * max_candidates=1000, `pytorch_mobile/ocr_pipeline.py:474`): a
+    * hostile payload stops tokenizing here instead of materializing an
+    * unbounded block array.
+    */
+  val MaxBlocks = 1000
+
   // scalastyle:off cyclomatic.complexity method.length
   def tokenize(s: String): Vector[Block] = {
     val out = Vector.newBuilder[Block]
+    var emitted = 0
     val n = s.length
     var i = 0
     var anchorDepth = 0
@@ -108,6 +116,7 @@ object HtmlBlocks {
     def flush(): Unit = {
       if (text.length > 0) {
         out += Block(text.toString, bStart, bEnd, words, linkWords, boiler)
+        emitted += 1
       }
       text.setLength(0); bStart = -1; bEnd = -1
       words = 0; linkWords = 0; boiler = false
@@ -162,7 +171,7 @@ object HtmlBlocks {
       (n, false)
     }
 
-    while (i < n) {
+    while (i < n && emitted < MaxBlocks) {
       val c = s.charAt(i)
       if (c == '<') {
         if (s.startsWith("<!--", i)) {
@@ -240,7 +249,7 @@ object HtmlBlocks {
         i += 1
       }
     }
-    flush()
+    if (emitted < MaxBlocks) flush()
     out.result()
   }
   // scalastyle:on

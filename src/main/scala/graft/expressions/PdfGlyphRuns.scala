@@ -61,6 +61,25 @@ object PdfGlyphRuns {
   /** y-distance above which two runs belong to different text lines */
   val RowTol = 10
 
+  /** hard cap on parsed runs per payload — the page-cap analog (reference
+    * MAX_PAGES, `pipeline.py:1413-1414`): a hostile 100 MB payload row
+    * stops parsing here instead of materializing an unbounded array.
+    */
+  val MaxRuns = 5000
+
+  /** minimum x-projection gap (px) that counts as a column gutter for
+    * the XY-cut: ~8.5 char cells. Word-scale spacing (a few cells, even
+    * when coincidentally aligned across every line of a short page) must
+    * never split columns; a real gutter in the payload format is ≥ 80 px.
+    */
+  val MinXGap = 60
+
+  /** char-cell width of the text-encoded payload format (FIXTURES.md §2:
+    * x = 40 + charOffset·7); a PDFBox-backed source would carry real
+    * glyph advances through the same interface.
+    */
+  val CharW = 7
+
   val runStruct: StructType = StructType(Seq(
     StructField("line", IntegerType, nullable = false),
     StructField("x", IntegerType, nullable = false),
@@ -76,16 +95,25 @@ object PdfGlyphRuns {
 
   def parse(s: String): Array[Run] = {
     val n = s.length
-    // skip leading whitespace, then require the %PDF- header line
+    // skip leading whitespace, tolerate ONE wrapping tag (the sniffing
+    // cascade routes `<div>…%PDF-…` payloads here — reference analog:
+    // magic-byte validation looks past container framing,
+    // `pipeline.py:2615-2685`), then require the %PDF- header line
     var i = 0
     while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i < n && s.charAt(i) == '<') {
+      val close = s.indexOf('>', i)
+      if (close < 0 || close - i > 200) return Array.empty
+      i = close + 1
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    }
     if (!s.startsWith("%PDF-", i)) return Array.empty
     val headerEnd = s.indexOf('\n', i)
     if (headerEnd < 0) return Array.empty
     i = headerEnd + 1
 
     val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
-    while (i < n) {
+    while (i < n && runs.length < MaxRuns) {
       val eol0 = s.indexOf('\n', i)
       val eol = if (eol0 < 0) n else eol0
       // parse "G <x> <y> <size> <text...>" between i and eol
@@ -110,18 +138,96 @@ object PdfGlyphRuns {
       i = eol + 1
     }
 
-    // layout analysis: 1-D gap clustering of y into text lines
-    if (runs.nonEmpty) {
-      val byY = runs.toArray.sortBy(r => (r.y, r.x, r.start))
-      var line = 0
-      var prevY = byY(0).y
-      byY.foreach { r =>
-        if (r.y - prevY > RowTol) line += 1
-        r.line = line
-        prevY = r.y
+    // layout analysis: recursive XY-cut (largest-gap-first) assigns
+    // reading-order line numbers — left column reads fully before right
+    val arr = runs.toArray
+    if (arr.nonEmpty) assignLines(arr)
+    arr
+  }
+
+  /** Recursive XY-cut layout analysis (north-star "XY-cut layout
+    * analysis"; reference ordering concern
+    * `pytorch_mobile/ocr_pipeline.py:655-664`): at each level, split on
+    * the LARGEST projection gap — a full-height column gutter (x gap ≥
+    * [[MinXGap]]) beats inter-line gaps, so two-column pages order
+    * column-major; within a column, y gaps split into text-line bands
+    * exactly like the 1-D banding this replaces (single-column payloads
+    * get identical line numbers). Depth-capped; leaves fall back to
+    * y-banding, so hostile inputs degrade instead of recursing unbounded.
+    */
+  private def assignLines(all: Array[Run]): Unit = {
+    var nextLine = 0
+
+    def yBands(rs: Array[Run]): Array[Array[Run]] = {
+      val byY = rs.sortBy(r => (r.y, r.x, r.start))
+      val bands = scala.collection.mutable.ArrayBuffer.empty[Array[Run]]
+      var start = 0
+      var k = 1
+      while (k <= byY.length) {
+        if (k == byY.length || byY(k).y - byY(k - 1).y > RowTol) {
+          bands += byY.slice(start, k)
+          start = k
+        }
+        k += 1
       }
+      bands.toArray
     }
-    runs.toArray
+
+    def leaf(rs: Array[Run]): Unit =
+      yBands(rs).foreach { band =>
+        band.foreach(_.line = nextLine)
+        nextLine += 1
+      }
+
+    /** largest gap in the merged y-interval projection ([y, y+RowTol]) */
+    def maxYGap(rs: Array[Run]): Int = {
+      val ys = rs.map(_.y).sorted
+      var best = 0
+      var maxEnd = ys(0) + RowTol
+      var k = 1
+      while (k < ys.length) {
+        val g = ys(k) - maxEnd
+        if (g > best) best = g
+        val e = ys(k) + RowTol
+        if (e > maxEnd) maxEnd = e
+        k += 1
+      }
+      best
+    }
+
+    /** (largest x gap ≥ MinXGap, split x) over [x, x + CharW·len) */
+    def maxXGap(rs: Array[Run]): (Int, Int) = {
+      val iv = rs.map(r => (r.x, r.x + CharW * r.text.length)).sortBy(_._1)
+      var best = 0
+      var split = 0
+      var maxEnd = iv(0)._2
+      var k = 1
+      while (k < iv.length) {
+        val g = iv(k)._1 - maxEnd
+        if (g > best) { best = g; split = maxEnd + g / 2 }
+        if (iv(k)._2 > maxEnd) maxEnd = iv(k)._2
+        k += 1
+      }
+      if (best >= MinXGap) (best, split) else (0, 0)
+    }
+
+    def cut(rs: Array[Run], depth: Int): Unit =
+      if (depth > 32 || rs.length <= 1) leaf(rs)
+      else {
+        val yg = maxYGap(rs)
+        // a column cut needs a gutter spanning MULTIPLE text lines —
+        // a single y-band is one line of text, whatever its word spacing
+        val (xg, xsplit) = if (yg > 0) maxXGap(rs) else (0, 0)
+        if (xg > yg) {
+          val (l, r) = rs.partition(_.x < xsplit)
+          cut(l, depth + 1)
+          cut(r, depth + 1)
+        } else if (yg > 0) {
+          yBands(rs).foreach(cut(_, depth + 1))
+        } else leaf(rs)
+      }
+
+    cut(all, 0)
   }
 
   /** number of candidate run lines (for parse-confidence), counted cheaply */

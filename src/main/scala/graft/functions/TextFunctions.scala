@@ -26,7 +26,10 @@ object TextFunctions {
     */
   def sniff(text: Column, tool: Column): Column =
     when(isBlank(text), "blank")
-      .when(text.rlike("\\A\\s*%PDF-"), "pdf")
+      // %PDF- magic, optionally behind ONE wrapping tag (content beats
+      // container framing — the sniff-right-content-wrong cascade case;
+      // magic-byte validation analog `pipeline.py:2615-2685`)
+      .when(text.rlike("(?s)\\A\\s*(?:<[^>]{0,200}>\\s*)?%PDF-"), "pdf")
       .when(text.rlike("(?is)\\A\\s*<(!doctype|!--|[a-z][a-z0-9]*[\\s>/])"), "html")
       .when(tool.isNotNull && text.rlike("\\A\\s*\\{"), "tooljson")
       .otherwise("plain")

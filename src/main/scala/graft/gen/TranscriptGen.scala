@@ -314,43 +314,79 @@ object TranscriptGen {
 
   /** Text-encoded glyph-run payload: header "%PDF-SIM", then one run per
     * line `G <x> <y> <fontSize> <text...>`, emitted OUT of reading order.
-    * Expected = lines restored by y-band clustering + x sort (reference
-    * analog: bbox reading-order, `pytorch_mobile/ocr_pipeline.py:655-664`).
+    * Expected = lines restored by XY-cut layout analysis + reading-order
+    * sort (reference analog: bbox reading-order,
+    * `pytorch_mobile/ocr_pipeline.py:655-664`). Three layouts:
+    *  - single column (y-band clustering only),
+    *  - HTML-wrapped single column (`<div …>` before the %PDF- magic —
+    *    the sniff-right-content-wrong cascade fixture),
+    *  - TWO columns with an 80 px gutter: expected reading order is
+    *    column-major (left column fully before right) — the recursive
+    *    XY-cut fixture a 1-D y-banding would interleave.
     */
   private def pdfPayload(rng: scala.util.Random): (String, String, Seq[Span]) = {
-    val nLines = 2 + rng.nextInt(6)
-    // build logical lines first
+    val variant = rng.nextInt(100) // <15 wrapped, <40 two-column, else plain
+    val twoCol = variant >= 15 && variant < 40
+    val wrapped = variant < 15
+
+    // (colIdx, lineIdx, runs); run x = colBase + charOff·7
     case class Run(x: Int, y: Int, text: String)
-    val lines = (0 until nLines).map { li =>
-      val nW = 3 + rng.nextInt(8)
-      val ws = Array.fill(nW)(words(rng.nextInt(words.length)))
-      val y = 100 + li * 40 + (rng.nextInt(9) - 4) // jitter within +-4
-      // split words into 1-3 runs
-      val nRuns = 1 + rng.nextInt(math.min(3, nW))
-      val cuts = (Seq(0) ++ Seq.fill(nRuns - 1)(1 + rng.nextInt(nW - 1)).sorted ++ Seq(nW)).distinct.sorted
-      val runs = cuts.sliding(2).collect { case Seq(a, b) if b > a =>
-        val txt = ws.slice(a, b).mkString(" ")
-        // x strictly increasing with char offset in line
-        val charOff = ws.take(a).map(_.length + 1).sum
-        Run(40 + charOff * 7, y, txt)
-      }.toSeq
-      (li, runs)
+    val maxChars = 40 // column text width cap (two-col: keeps the gutter)
+    def buildCol(c: Int, nLines: Int): Seq[(Int, Int, Seq[Run])] = {
+      val base = if (c == 0) 40 else 40 + maxChars * 7 + 80 // 80 px gutter
+      (0 until nLines).map { li =>
+        val nW = 3 + rng.nextInt(if (twoCol) 4 else 8)
+        val ws0 = Array.fill(nW)(words(rng.nextInt(words.length)))
+        // cap line width so a column never bleeds into the gutter
+        val ws = {
+          val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+          var len = 0
+          ws0.foreach { w =>
+            val add = w.length + (if (keep.nonEmpty) 1 else 0)
+            if (len + add <= maxChars) { keep += w; len += add }
+          }
+          keep.toArray
+        }
+        val y = 100 + li * 40 + (rng.nextInt(9) - 4) // jitter within +-4
+        val nRuns = 1 + rng.nextInt(math.min(3, ws.length))
+        val cuts = (Seq(0) ++ Seq.fill(nRuns - 1)(1 + rng.nextInt(math.max(1, ws.length - 1)))
+          .sorted ++ Seq(ws.length)).distinct.sorted
+        val runs = cuts.sliding(2).collect { case Seq(a, b) if b > a =>
+          val txt = ws.slice(a, b).mkString(" ")
+          val charOff = ws.take(a).map(_.length + 1).sum
+          Run(base + charOff * 7, y, txt)
+        }.toSeq
+        (c, li, runs)
+      }
     }
-    val allRuns = lines.flatMap { case (li, rs) => rs.map(r => (li, r)) }
+    val lines: Seq[(Int, Int, Seq[Run])] =
+      if (twoCol) buildCol(0, 2 + rng.nextInt(4)) ++ buildCol(1, 2 + rng.nextInt(4))
+      else buildCol(0, 2 + rng.nextInt(6))
+
+    val allRuns = lines.flatMap { case (c, li, rs) => rs.map(r => ((c, li), r)) }
     val shuffled = rng.shuffle(allRuns)
 
-    val sb = new StringBuilder("%PDF-SIM\n")
-    val spanByKey = scala.collection.mutable.Map[(Int, Int), Span]() // (line, x) -> span
-    shuffled.foreach { case (li, r) =>
+    val sb = new StringBuilder
+    if (wrapped) sb.append("<div class=\"doc\">\n")
+    sb.append("%PDF-SIM\n")
+    val spanByKey = scala.collection.mutable.Map[((Int, Int), Int), Span]()
+    shuffled.foreach { case (key, r) =>
       sb.append("G ").append(r.x).append(' ').append(r.y).append(' ')
-        .append(10 + (li % 3)).append(' ')
+        .append(10 + (key._2 % 3)).append(' ')
       val s = sb.length
       sb.append(r.text)
-      spanByKey((li, r.x)) = Span(s, sb.length)
+      spanByKey((key, r.x)) = Span(s, sb.length)
       sb.append('\n')
     }
-    val expected = lines.map { case (_, rs) => rs.sortBy(_.x).map(_.text).mkString(" ") }.mkString("\n")
-    val spans = lines.flatMap { case (li, rs) => rs.sortBy(_.x).map(r => spanByKey((li, r.x))) }
+    if (wrapped) sb.append("</div>")
+    // reading order: column-major (XY-cut), lines top-down, runs by x
+    val ordered = lines.sortBy { case (c, li, _) => (c, li) }
+    val expected = ordered
+      .map { case (_, _, rs) => rs.sortBy(_.x).map(_.text).mkString(" ") }
+      .mkString("\n")
+    val spans = ordered.flatMap { case (c, li, rs) =>
+      rs.sortBy(_.x).map(r => spanByKey(((c, li), r.x)))
+    }
     (sb.toString, expected, spans)
   }
 

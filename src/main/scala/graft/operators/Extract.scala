@@ -99,7 +99,7 @@ object Extract {
     * (1 - link_density²) scores. Zero kept blocks triggers the aggressive
     * re-parse branch: keep every non-boiler block regardless of density.
     */
-  private def htmlRes(blocks: Column, kept: Column): Column = {
+  private def htmlRes(raw: Column, blocks: Column, kept: Column): Column = {
     def assemble(ks: Column, conf: Column, status: Column): Column =
       res(lit("html"),
         array_join(transform(ks, b => b.getField("text")), "\n"),
@@ -113,10 +113,17 @@ object Extract {
       .when(size(aggressive) > 0,
         assemble(aggressive,
           geoMeanTopK(blockScores(aggressive)) * 0.5, lit("fallback")))
-      .otherwise(
-        res(lit("html"), lit(""), emptySpans, lit(0.0), lit("fallback"),
-          size(blocks), lit(0)))
+      // cascade (reference best-effort return, `pipeline.py:2052-2065`):
+      // a parse that extracted NOTHING keeps the better alternative —
+      // the plain normalization of the raw payload at low confidence —
+      // instead of an empty row
+      .otherwise(plainAlt(raw, lit("html"), size(blocks)))
   }
+
+  /** low-confidence plain-path alternative used by the per-path cascade */
+  private def plainAlt(raw: Column, path: Column, total: Column): Column =
+    res(path, plainNormalize(raw), wholeSpan(raw), lit(0.3),
+      lit("fallback"), total, lit(0))
 
   // ------------------------------------------------------------- pdf
 
@@ -159,9 +166,8 @@ object Extract {
       res(lit("pdf"), text, spans, conf,
         when(conf >= 1.0, "success").otherwise("fallback"),
         nLines, nLines))
-      .otherwise(
-        res(lit("pdf"), lit(""), emptySpans, lit(0.0), lit("fallback"),
-          lit(0), lit(0)))
+      // cascade: zero parsed runs → keep-better plain alternative
+      .otherwise(plainAlt(raw, lit("pdf"), lit(0)))
   }
 
   // ------------------------------------------------------------- routing
@@ -193,7 +199,7 @@ object Extract {
     val routed = staged.withColumn("__x",
       when(fmt === "blank", blankRes)
         .when(fmt === "pdf", pdfRes(raw, col("__pr"), col("__sorted")))
-        .when(fmt === "html", htmlRes(col("__hb"), col("__kept")))
+        .when(fmt === "html", htmlRes(raw, col("__hb"), col("__kept")))
         .when(fmt === "tooljson", toolJsonRes(raw, col("__tj")))
         .otherwise(plainRes(raw)))
 

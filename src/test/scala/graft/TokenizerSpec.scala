@@ -109,4 +109,30 @@ class TokenizerSpec extends AnyFunSuite {
   test("leading whitespace before header is tolerated") {
     assert(runs("  \n%PDF-SIM\nG 1 2 3 ok\n").length === 1)
   }
+
+  test("recursive XY-cut orders two-column pages column-major") {
+    val s = "%PDF-SIM\n" +
+      "G 400 100 10 right one\nG 40 100 10 left one\n" +
+      "G 400 140 10 right two\nG 40 140 10 left two\n"
+    val r = runs(s).sortBy(x => (x.line, x.x))
+    assert(r.map(_.text).toSeq ===
+      Seq("left one", "left two", "right one", "right two"))
+    assert(r.map(_.line).toSeq === Seq(0, 1, 2, 3))
+  }
+
+  test("one wrapping tag before the %PDF- magic is tolerated (cascade)") {
+    val s = "<div class=\"doc\">\n%PDF-SIM\nG 40 100 10 hello\n</div>"
+    val r = runs(s)
+    assert(r.map(_.text).toSeq === Seq("hello"))
+    assert(s.substring(r(0).start, r(0).end) === "hello")
+  }
+
+  test("hostile payloads are bounded by the run and block caps") {
+    val big = "%PDF-SIM\n" +
+      (0 until 6000).map(i => s"G 40 ${100 + i * 40} 10 w$i\n").mkString
+    assert(runs(big).length === PdfGlyphRuns.MaxRuns)
+    val html = "<html><body>" +
+      (0 until 1500).map(i => s"<p>block $i</p>").mkString + "</body></html>"
+    assert(HtmlBlocks.tokenize(html).length === HtmlBlocks.MaxBlocks)
+  }
 }
