@@ -56,7 +56,7 @@ object HtmlBlocks {
     val blocks = tokenize(input.toString)
     new GenericArrayData(blocks.map { b =>
       InternalRow(UTF8String.fromString(b.text), b.start, b.end,
-        b.words, b.linkWords, b.boiler)
+        b.words, b.linkWords, b.boiler, b.cwords, b.clinkWords, b.cmaxWords)
     }.toArray[Any])
   }
 
@@ -66,12 +66,16 @@ object HtmlBlocks {
     StructField("end", IntegerType, nullable = false),
     StructField("words", IntegerType, nullable = false),
     StructField("link_words", IntegerType, nullable = false),
-    StructField("boiler", BooleanType, nullable = false)))
+    StructField("boiler", BooleanType, nullable = false),
+    StructField("cwords", IntegerType, nullable = false),
+    StructField("clink_words", IntegerType, nullable = false),
+    StructField("cmax_words", IntegerType, nullable = false)))
 
   val outType: DataType = ArrayType(blockStruct, containsNull = false)
 
   final case class Block(text: String, start: Int, end: Int,
-      words: Int, linkWords: Int, boiler: Boolean)
+      words: Int, linkWords: Int, boiler: Boolean,
+      var cwords: Int = 0, var clinkWords: Int = 0, var cmaxWords: Int = 0)
 
   /** tags that terminate the current text block */
   private val blockTags: Set[String] = Set(
@@ -82,6 +86,16 @@ object HtmlBlocks {
     "dl", "dt", "dd", "caption")
 
   private val boilerTags: Set[String] = Set("nav", "header", "footer", "aside")
+
+  /** tags opening a Readability-style scoring subtree ("container"):
+    * per-block keep decisions may be rescued by their container's
+    * aggregate text/link density (north-star "Readability-like DOM-
+    * subtree scoring") — a content `<div>` of many short `<p>`s keeps
+    * its children even though each is below the per-block word floor.
+    */
+  private val containerTags: Set[String] = Set(
+    "body", "div", "article", "section", "main", "td", "li",
+    "blockquote", "form", "figure")
 
   private val namedEntities: Map[String, Char] = Map(
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"',
@@ -97,11 +111,15 @@ object HtmlBlocks {
   // scalastyle:off cyclomatic.complexity method.length
   def tokenize(s: String): Vector[Block] = {
     val out = Vector.newBuilder[Block]
+    val containerOf = Vector.newBuilder[Int] // parallel: block → container id
     var emitted = 0
     val n = s.length
     var i = 0
     var anchorDepth = 0
     var boilerDepth = 0
+    var containerId = 0 // 0 = document root
+    var nextContainerId = 1
+    val containerStack = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     // current block accumulation
     val text = new java.lang.StringBuilder(64)
@@ -116,6 +134,7 @@ object HtmlBlocks {
     def flush(): Unit = {
       if (text.length > 0) {
         out += Block(text.toString, bStart, bEnd, words, linkWords, boiler)
+        containerOf += containerId
         emitted += 1
       }
       text.setLength(0); bStart = -1; bEnd = -1
@@ -214,6 +233,18 @@ object HtmlBlocks {
                   if (closing) boilerDepth = math.max(0, boilerDepth - 1)
                   else if (!selfClosed) boilerDepth += 1
                 }
+                if (containerTags.contains(name)) {
+                  if (closing) {
+                    containerId =
+                      if (containerStack.nonEmpty)
+                        containerStack.remove(containerStack.length - 1)
+                      else 0
+                  } else if (!selfClosed) {
+                    containerStack += containerId
+                    containerId = nextContainerId
+                    nextContainerId += 1
+                  }
+                }
               }
             }
           }
@@ -250,7 +281,33 @@ object HtmlBlocks {
       }
     }
     if (emitted < MaxBlocks) flush()
-    out.result()
+    val blocks = out.result()
+    // Readability-style container totals: per nearest container subtree,
+    // sum the words/link-words of its NON-boiler blocks (boiler content
+    // must not rescue its neighbors), then annotate every block
+    val cids = containerOf.result()
+    val totW = scala.collection.mutable.Map.empty[Int, Int]
+    val totL = scala.collection.mutable.Map.empty[Int, Int]
+    val maxW = scala.collection.mutable.Map.empty[Int, Int]
+    var k = 0
+    while (k < blocks.length) {
+      if (!blocks(k).boiler) {
+        val c = cids(k)
+        totW(c) = totW.getOrElse(c, 0) + blocks(k).words
+        totL(c) = totL.getOrElse(c, 0) + blocks(k).linkWords
+        maxW(c) = math.max(maxW.getOrElse(c, 0), blocks(k).words)
+      }
+      k += 1
+    }
+    k = 0
+    while (k < blocks.length) {
+      val c = cids(k)
+      blocks(k).cwords = totW.getOrElse(c, 0)
+      blocks(k).clinkWords = totL.getOrElse(c, 0)
+      blocks(k).cmaxWords = maxW.getOrElse(c, 0)
+      k += 1
+    }
+    blocks
   }
   // scalastyle:on
 }

@@ -299,6 +299,34 @@ object TranscriptGen {
     }
     sb.append("</div>")
 
+    // Readability-subtree fixture: a content div of SHORT paragraphs
+    // (each below the per-block word floor) that only survives via
+    // container-level scoring — a flat Boilerpipe threshold drops it
+    if (rng.nextInt(100) < 25) {
+      sb.append("""<div class="cards">""")
+      val nSmall = 4 + rng.nextInt(3)
+      var q = 0
+      while (q < nSmall) {
+        sb.append("<p>")
+        val nW = 4 + rng.nextInt(4) // 4-7 words: under MinWords=8
+        val expW = new scala.collection.mutable.ArrayBuffer[String](nW)
+        val start = sb.length
+        var w = 0
+        while (w < nW) {
+          if (w > 0) sb.append(" ")
+          val word = words(rng.nextInt(words.length))
+          sb.append(word)
+          expW += word
+          w += 1
+        }
+        spans += Span(start, sb.length)
+        sb.append("</p>")
+        expected += expW.mkString(" ")
+        q += 1
+      }
+      sb.append("</div>")
+    }
+
     if (rng.nextBoolean())
       sb.append("<!-- boilerplate comment: ads tracking nothing to see -->")
 

@@ -68,13 +68,28 @@ object Extract {
     * get_json_object (SURVEY X12); on parse failure falls back to the plain
     * normalization path with reduced confidence (status `fallback`).
     * `t` is the staged (once-per-row) parse result column.
+    *
+    * Span derivation (round-1 fix): the value marker is searched FROM the
+    * `"output"` key onward (a payload with an earlier unrelated `"text"`
+    * key no longer mis-anchors), and the span is only emitted when the
+    * raw bytes at the span actually equal the parsed value — JSON
+    * escapes break raw-offset equivalence, in which case the row stays a
+    * success with the whole-content span instead of a wrong one.
     */
   private def toolJsonRes(raw: Column, t: Column): Column = {
-    val markerPos = instr(raw, "\"text\":\"") // 1-based, 0 when absent
+    val outPos = instr(raw, "\"output\"") // 1-based, 0 when absent
+    val markerPos = when(outPos > 0,
+      call_function("locate", lit("\"text\":\""), raw, outPos))
+      .otherwise(lit(0))
     val start = markerPos + lit(7) // 0-based offset of the value
-    when(t.isNotNull && markerPos > 0,
+    val verified = markerPos > 0 &&
+      raw.substr(start + 1, length(t)) === t
+    when(t.isNotNull && verified,
       res(lit("tooljson"), t, array(spanOf(start, start + length(t))),
         lit(1.0), lit("success"), lit(1), lit(1)))
+      .when(t.isNotNull,
+        res(lit("tooljson"), t, wholeSpan(raw), lit(0.9), lit("success"),
+          lit(1), lit(1)))
       .otherwise(
         res(lit("tooljson"), plainNormalize(raw), wholeSpan(raw),
           lit(0.3), lit("fallback"), lit(1), lit(0)))
@@ -82,11 +97,22 @@ object Extract {
 
   // ------------------------------------------------------------- html
 
-  /** Boilerpipe-style keep predicate over one block struct */
+  /** Boilerpipe-style keep predicate over one block struct, with
+    * Readability-style subtree rescue: a block below the per-block word
+    * floor is still kept when its container subtree is content-dense
+    * (aggregate words ≥ 2×floor at acceptable aggregate link density)
+    * AND the container consists entirely of small blocks — a content
+    * `<div>` of many short `<p>`s no longer drops wholesale, while
+    * short trimmings sharing a container with a substantial block stay
+    * dropped (that block already carries the container's content).
+    */
   private def keepBlock(b: Column): Column =
     !b.getField("boiler") &&
-      b.getField("words") >= MinWords &&
-      b.getField("link_words") * 3 <= b.getField("words")
+      b.getField("link_words") * 3 <= b.getField("words") &&
+      (b.getField("words") >= MinWords ||
+        (b.getField("cmax_words") < MinWords &&
+          b.getField("cwords") >= MinWords * 2 &&
+          b.getField("clink_words") * 3 <= b.getField("cwords")))
 
   private def blockScores(bs: Column): Column = transform(bs, b => {
     val ld = b.getField("link_words").cast("double") / b.getField("words")

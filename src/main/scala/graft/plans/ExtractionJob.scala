@@ -73,8 +73,15 @@ object ExtractionJob {
     val bucketed = input
       .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
 
-    val done = completedBuckets(spark, cfg)
-    val todo0 = bucketed.join(broadcast(done), Seq("bucket"), "left_anti")
+    // EAGER snapshot of completed bucket ids (≤ numBuckets): a lazy
+    // manifest read here is re-evaluated after this run's own writes
+    // refresh the path cache, which silently empties every downstream
+    // frame derived from it
+    val doneIds: Seq[Integer] = completedBuckets(spark, cfg)
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val todo0 =
+      if (doneIds.isEmpty) bucketed
+      else bucketed.filter(!col("bucket").isin(doneIds: _*))
     val todo = onlyBuckets match {
       case Some(bs) => todo0.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))
       case None => todo0
@@ -84,6 +91,12 @@ object ExtractionJob {
       .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
       .repartition(cfg.numBuckets, col("bucket"))
       .sortWithinPartitions("conv_id", "turn_idx")
+      // cached across the write + the manifest aggregate: the extraction
+      // is computed ONCE and the metrics pass reads local cache blocks
+      // instead of re-scanning the entire written table (round-1 fix —
+      // at 100 TB that re-read was a full second scan; an Iceberg writer
+      // would emit these stats in commit metadata instead)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exactly-once per bucket: dynamic partition overwrite replaces a
     // bucket dir on re-run instead of appending duplicates
@@ -93,10 +106,8 @@ object ExtractionJob {
       .partitionBy("bucket")
       .parquet(dataDir(cfg))
 
-    // lineage/metrics per bucket, computed from the durably written rows
-    val written = spark.read.parquet(dataDir(cfg))
-      .join(broadcast(done), Seq("bucket"), "left_anti")
-    val manifest = written
+    // lineage/metrics per bucket, from the rows just durably written
+    val manifest = extracted
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("turns_processed"),
@@ -107,9 +118,15 @@ object ExtractionJob {
       .withColumn("status", lit("complete"))
       .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
 
+    // this run's bucket ids (≤ numBuckets — driver-safe), collected
+    // BEFORE the manifest write refreshes the path cache
+    val bucketIds = manifest.select("bucket").collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
     manifest.write.mode(SaveMode.Append).parquet(manifestDir(cfg))
-    spark.read.parquet(manifestDir(cfg)).join(
-      manifest.select("bucket"), Seq("bucket"), "left_semi")
+    extracted.unpersist()
+    val all = spark.read.parquet(manifestDir(cfg))
+    if (bucketIds.isEmpty) all.filter(lit(false))
+    else all.filter(col("bucket").isin(bucketIds: _*))
   }
 
   /** the final output table (all completed buckets), stable per-key order */

@@ -127,6 +127,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(s.substring(r(0).start, r(0).end) === "hello")
   }
 
+  test("Readability subtree totals: container sums exclude boiler siblings") {
+    val html = "<html><body>" +
+      "<div>" + (1 to 5).map(i => s"<p>tiny card number $i here</p>").mkString + "</div>" +
+      "<p>lonely stray line</p>" +
+      "<nav><a href='/'>Home</a> menu items listed here</nav>" +
+      "</body></html>"
+    val bs = HtmlBlocks.tokenize(html)
+    val cards = bs.filter(_.text.startsWith("tiny card"))
+    assert(cards.length === 5)
+    assert(cards.forall(_.words === 5))
+    assert(cards.forall(_.cwords === 25)) // div subtree total
+    val lonely = bs.find(_.text == "lonely stray line").get
+    assert(lonely.cwords === 3) // body-level total: boiler nav excluded
+    val nav = bs.find(_.boiler).get
+    assert(nav.cwords === 3) // boiler words never rescue a container
+  }
+
   test("hostile payloads are bounded by the run and block caps") {
     val big = "%PDF-SIM\n" +
       (0 until 6000).map(i => s"G 40 ${100 + i * 40} 10 w$i\n").mkString
