@@ -175,9 +175,16 @@ object Bench {
       name -> sec
     }
     // materialize the scaling inputs ONCE (generation cost excluded from
-    // the measurement — real deployments read tables, not generators)
-    val bigDir = "/tmp/graft_bench_turns_4n"
-    val anchorDir = "/tmp/graft_bench_turns_1n"
+    // the measurement — real deployments read tables, not generators).
+    // Inputs live on tmpfs when available: the sandbox's single shared
+    // /tmp DISK is a non-scaling resource and its neighbors' I/O storms
+    // are INVISIBLE to the pure-compute control brackets (observed: a
+    // 462 s extract between 4 s clean controls, entirely disk wait) —
+    // a multi-node cluster would not share one disk either.
+    val inBase =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm" else "/tmp"
+    val bigDir = s"$inBase/graft_bench_turns_4n"
+    val anchorDir = s"$inBase/graft_bench_turns_1n"
     val inputReady =
       try {
         TranscriptGen.inputDf(spark, turns4N)
@@ -259,6 +266,15 @@ object Bench {
         f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
         f""""normalized_efficiency":$effNormalized%.3f,""" +
         f""""efficiency_1_to_4":$eff1toN%.3f}"""
+    // free the tmpfs inputs — they are measurement scratch, not results
+    Seq(bigDir, anchorDir).foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val f = new java.io.File(d)
+      if (f.exists()) rm(f)
+    }
+
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
     println(line)

@@ -58,8 +58,15 @@ object Extract {
 
   // ------------------------------------------------------------- plain
 
-  private def plainRes(raw: Column): Column =
-    res(lit("plain"), plainNormalize(raw), wholeSpan(raw), lit(1.0),
+  /** `plain`/`wspan` are the STAGED normalized-text / whole-span columns
+    * — plainNormalize expands to a sizable codegen subtree and is
+    * referenced by four result branches (plain path, tooljson fallback,
+    * html/pdf cascade); inlining it four times pushed the generated
+    * projection past Janino's method limits and the whole stage fell
+    * back to interpreted eval (~2.5× per-row cost, observed in bench).
+    */
+  private def plainRes(plain: Column, wspan: Column): Column =
+    res(lit("plain"), plain, wspan, lit(1.0),
       lit("success"), lit(1), lit(1))
 
   // ------------------------------------------------------------- tooljson
@@ -76,7 +83,8 @@ object Extract {
     * escapes break raw-offset equivalence, in which case the row stays a
     * success with the whole-content span instead of a wrong one.
     */
-  private def toolJsonRes(raw: Column, t: Column): Column = {
+  private def toolJsonRes(raw: Column, t: Column, plain: Column,
+      wspan: Column): Column = {
     val outPos = instr(raw, "\"output\"") // 1-based, 0 when absent
     val markerPos = when(outPos > 0,
       call_function("locate", lit("\"text\":\""), raw, outPos))
@@ -88,10 +96,10 @@ object Extract {
       res(lit("tooljson"), t, array(spanOf(start, start + length(t))),
         lit(1.0), lit("success"), lit(1), lit(1)))
       .when(t.isNotNull,
-        res(lit("tooljson"), t, wholeSpan(raw), lit(0.9), lit("success"),
+        res(lit("tooljson"), t, wspan, lit(0.9), lit("success"),
           lit(1), lit(1)))
       .otherwise(
-        res(lit("tooljson"), plainNormalize(raw), wholeSpan(raw),
+        res(lit("tooljson"), plain, wspan,
           lit(0.3), lit("fallback"), lit(1), lit(0)))
   }
 
@@ -125,7 +133,8 @@ object Extract {
     * (1 - link_density²) scores. Zero kept blocks triggers the aggressive
     * re-parse branch: keep every non-boiler block regardless of density.
     */
-  private def htmlRes(raw: Column, blocks: Column, kept: Column): Column = {
+  private def htmlRes(plain: Column, wspan: Column, blocks: Column,
+      kept: Column): Column = {
     def assemble(ks: Column, conf: Column, status: Column): Column =
       res(lit("html"),
         array_join(transform(ks, b => b.getField("text")), "\n"),
@@ -143,13 +152,13 @@ object Extract {
       // a parse that extracted NOTHING keeps the better alternative —
       // the plain normalization of the raw payload at low confidence —
       // instead of an empty row
-      .otherwise(plainAlt(raw, lit("html"), size(blocks)))
+      .otherwise(plainAlt(plain, wspan, lit("html"), size(blocks)))
   }
 
   /** low-confidence plain-path alternative used by the per-path cascade */
-  private def plainAlt(raw: Column, path: Column, total: Column): Column =
-    res(path, plainNormalize(raw), wholeSpan(raw), lit(0.3),
-      lit("fallback"), total, lit(0))
+  private def plainAlt(plain: Column, wspan: Column, path: Column,
+      total: Column): Column =
+    res(path, plain, wspan, lit(0.3), lit("fallback"), total, lit(0))
 
   // ------------------------------------------------------------- pdf
 
@@ -166,7 +175,8 @@ object Extract {
     * assembly via aggregate with line-change separators. Confidence =
     * parsed-run fraction over candidate `G ` lines.
     */
-  private def pdfRes(raw: Column, runs: Column, sorted: Column): Column = {
+  private def pdfRes(raw: Column, plain: Column, wspan: Column,
+      runs: Column, sorted: Column): Column = {
     val text = aggregate(sorted,
       struct(lit("").as("s"), lit(-1).as("ln")),
       (acc, r) => struct(
@@ -193,7 +203,7 @@ object Extract {
         when(conf >= 1.0, "success").otherwise("fallback"),
         nLines, nLines))
       // cascade: zero parsed runs → keep-better plain alternative
-      .otherwise(plainAlt(raw, lit("pdf"), lit(0)))
+      .otherwise(plainAlt(plain, wspan, lit("pdf"), lit(0)))
   }
 
   // ------------------------------------------------------------- routing
@@ -222,12 +232,27 @@ object Extract {
       .withColumn("__tj", when(fmt === "tooljson",
         get_json_object(raw, "$.output.text")))
 
-    val routed = staged.withColumn("__x",
+    // plain-path text + whole-span, staged ONCE and gated to the rows
+    // that can actually read them (plain/tooljson always; html/pdf only
+    // when their parse produced nothing → cascade branch)
+    val needPlain = fmt === "plain" || fmt === "tooljson" ||
+      (fmt === "html" &&
+        size(filter(col("__hb"), b => !b.getField("boiler"))) === 0) ||
+      (fmt === "pdf" && size(col("__pr")) === 0)
+    val staged2 = staged
+      .withColumn("__plain", when(needPlain, plainNormalize(raw)))
+      .withColumn("__wspan", when(needPlain, wholeSpan(raw)))
+    val plain = col("__plain")
+    val wspan = col("__wspan")
+
+    val routed = staged2.withColumn("__x",
       when(fmt === "blank", blankRes)
-        .when(fmt === "pdf", pdfRes(raw, col("__pr"), col("__sorted")))
-        .when(fmt === "html", htmlRes(raw, col("__hb"), col("__kept")))
-        .when(fmt === "tooljson", toolJsonRes(raw, col("__tj")))
-        .otherwise(plainRes(raw)))
+        .when(fmt === "pdf",
+          pdfRes(raw, plain, wspan, col("__pr"), col("__sorted")))
+        .when(fmt === "html",
+          htmlRes(plain, wspan, col("__hb"), col("__kept")))
+        .when(fmt === "tooljson", toolJsonRes(raw, col("__tj"), plain, wspan))
+        .otherwise(plainRes(plain, wspan)))
 
     routed.select(Seq(col("conv_id"), col("turn_idx"),
       col("__x.path").as("path"),
