@@ -28,8 +28,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// -Xms=-Xmx + AlwaysPreTouch: this sandbox VM goes through long phases
+// where FIRST-TOUCH of fresh memory pages is ~100× slow (hypervisor
+// lazy paging — measured: an allocation-heavy string loop at 164 s vs
+// 1.5 s with a pre-touched heap, while pure-register arithmetic is
+// unaffected). Pre-faulting the heap at JVM start pays that cost once,
+// before any work or measurement, instead of on every young-gen bump.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -127,11 +127,15 @@ object Bench {
     */
   private def runChild(cores: Int, inDir: String): Option[(Double, Double, Double)] = {
     import scala.sys.process._
-    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-        a.startsWith("-D")) :+ s"-Xmx$childMem"
+        a.startsWith("-D")) ++ Seq(
+      // pre-fault the whole heap at child start: the sandbox VM has
+      // phases where first-touch of fresh pages is ~100× slow (lazy
+      // paging); pre-touch pays it once, OUTSIDE the measured windows
+      s"-Xmx$childMem", s"-Xms$childMem", "-XX:+AlwaysPreTouch")
     val cmd = Seq(
       System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
