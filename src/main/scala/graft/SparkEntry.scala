@@ -110,7 +110,8 @@ object SparkEntry {
         .select("doc_id", "electricity_kwh", "carbon_kgco2e", "elec_conf",
           "carbon_conf", "used_kie", "valid", "account_number", "bill_date",
           "billing_start_date", "billing_end_date", "current_reading",
-          "previous_reading", "peak_demand", "adv_electricity", "adv_carbon")
+          "previous_reading", "peak_demand", "water_m3",
+          "adv_electricity", "adv_carbon")
         .orderBy("doc_id")
     }),
 

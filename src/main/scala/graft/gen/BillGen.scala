@@ -46,6 +46,7 @@ object BillGen {
     val cur = (docId * 3 + 100000L).cast("long")
     val prev = cur - e
     val peak = (pmod(docId, lit(40)) + 1).cast("int")
+    val water = (pmod(docId, lit(400)) + 5).cast("int")
     val v = pmod(docId, lit(5))
 
     val es = e.cast("string")
@@ -69,7 +70,8 @@ object BillGen {
       elecPart, lit(" " + Pad + " "), carbPart,
       lit(" " + Pad + " Current Reading: "), cur,
       lit(" " + Pad + " Previous Reading: "), prev,
-      lit(" " + Pad + " Peak Demand: "), peak, lit(" kW "), filler)
+      lit(" " + Pad + " Peak Demand: "), peak, lit(" kW " + Pad + " Water: "),
+      water, lit(" m3 "), filler)
   }
 
   // ------------------------------------------------------------- DuckDB
@@ -107,6 +109,7 @@ object BillGen {
        || ${lit(" " + Pad + " Previous Reading: ")}
        || CAST(doc_id * 3 + 100000 - ($e) AS VARCHAR)
        || ${lit(" " + Pad + " Peak Demand: ")}
-       || CAST(doc_id % 40 + 1 AS VARCHAR) || ' kW ' || $filler"""
+       || CAST(doc_id % 40 + 1 AS VARCHAR) || ${lit(" kW " + Pad + " Water: ")}
+       || CAST(doc_id % 400 + 5 AS VARCHAR) || ' m3 ' || $filler"""
   }
 }

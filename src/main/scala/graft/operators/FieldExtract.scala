@@ -147,6 +147,13 @@ object FieldExtract {
     """Maximum\s*Demand[:\s]*(\d{1,4}\.?\d*)\s*kW""",
     """Max\s*kW[:\s]*(\d{1,4}\.?\d*)""")
 
+  /** water service patterns (X5, reference `main.py:111-115`), range
+    * (0.1, 10000], first-match-wins, value kept fractional.
+    */
+  val waterPatterns: Seq[String] = Seq(
+    """water[:\s]*(\d+(?:\.\d+)?)\s*(?:m3|cubic|liters?|gallons?)""",
+    """(\d+(?:\.\d+)?)\s*(?:m3|cubic\s*meters?)""")
+
   /** text-KIE candidate scan (`pipeline.py:2253-2256`). DELIBERATE
     * DEVIATION (reference defect, SURVEY §7 class): the reference's
     * `(.{0,30})(num)(.{0,30})` findall is broken — the greedy prefix
@@ -216,6 +223,14 @@ object FieldExtract {
   /** first-match-wins string chain (no guard). */
   def firstStr(text: Column, pats: Seq[String], idx: Int = 1): Column =
     coalesce(pats.map(p => extractGroup(text, p, idx)): _*)
+
+  /** first-match-wins fractional chain with range guard (water, X5). */
+  def firstDouble(text: Column, pats: Seq[String], lo: Double,
+      hi: Double): Column =
+    coalesce(pats.map { p =>
+      val v = extractGroup(text, p).cast("double")
+      when(v >= lo && v <= hi, v)
+    }: _*)
 
   /** X1/X2 advanced chain: first pattern whose normalised value is non-null. */
   def normChain(text: Column, pats: Seq[String]): Column =
@@ -377,6 +392,7 @@ object FieldExtract {
       .withColumn("current_reading", firstStr(t, currentPatterns))
       .withColumn("previous_reading", firstStr(t, previousPatterns))
       .withColumn("peak_demand", firstStr(t, peakPatterns))
+      .withColumn("water_m3", firstDouble(t, waterPatterns, 0.1, 10000.0))
       .withColumn("adv_electricity", normChain(t, energyChain))
       .withColumn("adv_carbon", normChain(t, carbonChain))
     out.drop("__pre", "__ct", "__se", "__sc", "__kie", "__ke", "__kc",
@@ -407,6 +423,13 @@ object FieldExtract {
 
   private def firstStrSql(x: String, pats: Seq[String], i: Int = 1) =
     "COALESCE(" + pats.map(p => exGSql(x, p, i)).mkString(", ") + ")"
+
+  private def firstDoubleSql(x: String, pats: Seq[String], lo: Double,
+      hi: Double) =
+    "COALESCE(" + pats.map { p =>
+      val v = s"TRY_CAST(${exGSql(x, p)} AS DOUBLE)"
+      s"CASE WHEN $v >= $lo AND $v <= $hi THEN $v END"
+    }.mkString(", ") + ")"
 
   private def normNumSql(g: String) =
     gatedIntSql(
@@ -519,6 +542,7 @@ object FieldExtract {
       ${firstStrSql("bill", currentPatterns)} AS current_reading,
       ${firstStrSql("bill", previousPatterns)} AS previous_reading,
       ${firstStrSql("bill", peakPatterns)} AS peak_demand,
+      ${firstDoubleSql("bill", waterPatterns, 0.1, 10000.0)} AS water_m3,
       ${normChainSql("bill", energyChain)} AS adv_electricity,
       ${normChainSql("bill", carbonChain)} AS adv_carbon
     FROM s8 ORDER BY doc_id"""

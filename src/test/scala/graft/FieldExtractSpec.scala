@@ -94,6 +94,14 @@ class FieldExtractSpec extends SparkSpecBase {
     assert(r.getAs[Any]("electricity_kwh") === 555)
   }
 
+  test("water service patterns (X5) extract fractional m3 with range guard") {
+    val rs = extract(
+      "Water: 12.5 m3 consumed this month",
+      "used 340 cubic meters total",
+      "Water: 0.05 m3") // below range
+    assert(rs.map(_.getAs[Any]("water_m3")) === Seq(12.5, 340.0, null))
+  }
+
   test("normaliseNumber handles OCR glyphs (X9)") {
     val df = Seq("l2O", "2,9 9", "g8", "xx").toDF("s")
       .select(FieldExtract.normaliseNumber($"s").as("v"))
