@@ -179,8 +179,24 @@ object FieldExtract {
 
   private def ci(p: String): String = "(?i)" + p
 
-  /** apply a rule list as chained regexp_replace (X7/X8). */
+  private def col2e(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+  private def e2col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Apply a rule list sequentially (X7/X8) — native
+    * [[graft.expressions.RegexReplaceChain]]; semantics identical to
+    * chained `regexp_replace` (same Java regex engine, asserted by the
+    * x05 oracle compare), but one expression node instead of 8-13 —
+    * the inlined chains blew whole-stage codegen past Janino's 64 KB
+    * method limit and the whole projection ran interpreted.
+    */
   def applyRules(text: Column, rules: Seq[Rule], caseInsensitive: Boolean): Column =
+    e2col(graft.expressions.RegexReplaceChain(col2e(text), rules, caseInsensitive))
+
+  /** declarative spec form of [[applyRules]] (cross-checked in tests) */
+  def applyRulesDeclarative(text: Column, rules: Seq[Rule],
+      caseInsensitive: Boolean): Column =
     rules.foldLeft(text) { case (acc, (p, r)) =>
       regexp_replace(acc, if (caseInsensitive) ci(p) else p, r)
     }
@@ -213,27 +229,40 @@ object FieldExtract {
   /** first-match-wins int chain with per-pattern range guard: a pattern
     * whose value fails the guard falls through to the NEXT pattern
     * (mirrors the reference's `break`-only-when-in-range loops).
+    * Native [[graft.expressions.FirstIntChain]].
     */
   def firstInt(text: Column, pats: Seq[String], lo: Int, hi: Int): Column =
+    e2col(graft.expressions.FirstIntChain(col2e(text), pats, lo, hi, 7))
+
+  /** declarative spec form of [[firstInt]] (cross-checked in tests) */
+  def firstIntDeclarative(text: Column, pats: Seq[String], lo: Int,
+      hi: Int): Column =
     coalesce(pats.map { p =>
       val v = gatedInt(translate(extractGroup(text, p), ",", ""), maxLen = 7)
       when(v.between(lo, hi), v)
     }: _*)
 
-  /** first-match-wins string chain (no guard). */
+  /** first-match-wins string chain (no guard) —
+    * native [[graft.expressions.FirstStrChain]].
+    */
   def firstStr(text: Column, pats: Seq[String], idx: Int = 1): Column =
-    coalesce(pats.map(p => extractGroup(text, p, idx)): _*)
+    e2col(graft.expressions.FirstStrChain(col2e(text), pats, idx))
 
-  /** first-match-wins fractional chain with range guard (water, X5). */
+  /** first-match-wins fractional chain with range guard (water, X5) —
+    * native [[graft.expressions.FirstDoubleChain]].
+    */
   def firstDouble(text: Column, pats: Seq[String], lo: Double,
       hi: Double): Column =
-    coalesce(pats.map { p =>
-      val v = extractGroup(text, p).cast("double")
-      when(v >= lo && v <= hi, v)
-    }: _*)
+    e2col(graft.expressions.FirstDoubleChain(col2e(text), pats, lo, hi))
 
-  /** X1/X2 advanced chain: first pattern whose normalised value is non-null. */
+  /** X1/X2 advanced chain: first pattern whose normalised value is
+    * non-null — native [[graft.expressions.NormIntChain]].
+    */
   def normChain(text: Column, pats: Seq[String]): Column =
+    e2col(graft.expressions.NormIntChain(col2e(text), pats, 9))
+
+  /** declarative spec form of [[normChain]] (cross-checked in tests) */
+  def normChainDeclarative(text: Column, pats: Seq[String]): Column =
     coalesce(pats.map(p => normaliseNumber(extractGroup(text, p))): _*)
 
   /** cross-field validation (`_validate_extraction_values`,

@@ -129,6 +129,31 @@ class FieldExtractSpec extends SparkSpecBase {
       decl.map(r => (r.get(0), r.get(1))))
   }
 
+  test("native chain expressions equal the declarative coalesce pipelines") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import graft.gen.BillGen
+    // real bill corpus (all five corruption variants) as the probe set
+    val bills = (0L until 60L).map(i => (i, s"doc $i words here"))
+      .toDF("doc_id", "text")
+      .select(BillGen.billCol(col("doc_id"), col("text")).as("bill"))
+    def both(n: Column, d: Column): Unit = {
+      val rows = bills.select(n.as("n"), d.as("d")).collect()
+      rows.foreach(r => assert(r.get(0) === r.get(1)))
+    }
+    val b = col("bill")
+    both(FieldExtract.firstInt(b, FieldExtract.elecPatterns, 50, 50000),
+      FieldExtract.firstIntDeclarative(b, FieldExtract.elecPatterns, 50, 50000))
+    both(FieldExtract.firstInt(b, FieldExtract.carbPatterns, 10, 20000),
+      FieldExtract.firstIntDeclarative(b, FieldExtract.carbPatterns, 10, 20000))
+    both(FieldExtract.normChain(b, FieldExtract.carbonChain),
+      FieldExtract.normChainDeclarative(b, FieldExtract.carbonChain))
+    both(FieldExtract.applyRules(b, FieldExtract.preprocessRules, caseInsensitive = true),
+      FieldExtract.applyRulesDeclarative(b, FieldExtract.preprocessRules, caseInsensitive = true))
+    both(FieldExtract.applyRules(b, FieldExtract.numericalRules, caseInsensitive = false),
+      FieldExtract.applyRulesDeclarative(b, FieldExtract.numericalRules, caseInsensitive = false))
+  }
+
   test("blank and hostile payloads yield all-null fields, no errors") {
     val rs = extract("", "   ", "no numbers here at all",
       "999999999999999999999999 kWh overflow-safe")
