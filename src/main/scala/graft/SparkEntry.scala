@@ -163,6 +163,15 @@ object SparkEntry {
         planes = 4, dim = 64).orderBy("query_id", "rank")
     }),
 
+    // IVF-bucketed ANN (builder-prompt scale path): Lloyd-trained coarse
+    // quantizer, inverted lists by cell, nprobe probing (rows-only —
+    // iteration/hash dependent, not SQL-expressible)
+    "t10_ann_ivf" -> ((s, dir) => {
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4).orderBy("query_id", "rank")
+    }),
+
     // histogram over pipeline outputs (SURVEY A7/A8 shape)
     "t09_quality_histogram" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))

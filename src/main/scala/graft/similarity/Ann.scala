@@ -67,6 +67,88 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** IVF coarse quantizer: `nlist` centroids trained with `iters` Lloyd
+    * rounds, deterministic seeding (the nlist corpus vectors with the
+    * smallest xxhash64 rank — reproducible across runs and partitions).
+    * Output: (cid, cv: array<double>).
+    *
+    * Scale notes: centroids are TINY (nlist×dim) and always broadcast;
+    * each Lloyd round is one broadcast join (assign, narrow) + one
+    * per-dimension hash aggregate (update) whose shuffle rows are
+    * (cid, dim_idx, partial) — independent of corpus vector bytes. The
+    * seeding window sorts hash ranks of (id) pairs only; at the
+    * 10^12-vector regime seed/train on a sampled slice instead — the
+    * interface stays the same.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val w = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents = v.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nlist)
+      .select((col("rk") - 1).cast("int").as("cid"), col("v").as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(v, cents)
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("x"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("x")))),
+          s => s.getField("x")).as("cv"))
+    }
+    cents
+  }
+
+  /** nearest-centroid assignment by cosine (broadcast centroids) */
+  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), col("__cos")).as("cid"), first(col("v")).as("v"))
+
+  /** IVF top-k: corpus vectors are inverted-listed by nearest centroid;
+    * each query probes its `nprobe` nearest cells and ranks EXACT cosine
+    * within the probed candidates. The candidate join is an equi-join on
+    * cell id — at 10^12 vectors only ~nprobe/nlist of the corpus is
+    * touched per query, and nothing shuffles but (cid)-keyed rows.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val c = assignCells(
+        corpus.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("v")), cents)
+      .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("cid"))
+    val qprobe = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.join(qprobe, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosinePrenormed(col("qv"), col("v"),
+          col("qnorm"), col("vnorm")), 6).as("cos"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing the query's
     * hyperplane bucket (equi-join on bucket id), exact cosine + top-k
     * within candidates. `dim` is the embedding dimensionality.

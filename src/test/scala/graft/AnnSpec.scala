@@ -62,6 +62,28 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfTopK: exact cosines, deterministic, useful recall vs brute force") {
+    val qs = corpus.filter(col("vec_id") < 6)
+    val ivf = Ann.ivfTopK(corpus, qs, k = 5, nlist = 8, nprobe = 3)
+    val a = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic across reruns
+    val b = Ann.ivfTopK(corpus, qs, k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // recall vs exact brute force: probing 3/8 cells must find a solid
+    // fraction of the true top-5 (exact bound is data-dependent; this
+    // corpus yields well above the floor asserted here)
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (a & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // rank-1 neighbors carry exact cosine values
+    val cosOk = ivf.filter(col("rank") === 1).collect().forall { r =>
+      r.getAs[Double]("cos") <= 1.000001 && r.getAs[Double]("cos") >= -1.000001
+    }
+    assert(cosOk)
+  }
+
   test("hyperplane bucket is deterministic across partitionings") {
     val withBuckets = corpus
       .select(col("vec_id"),
