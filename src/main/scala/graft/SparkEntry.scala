@@ -115,6 +115,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // isotonic confidence calibration (SURVEY X20; reference
+    // ConfidenceCalibrator pipeline.py:196-369 + the conf↔accuracy study
+    // confidence_analysis.py): degrade a deterministic 30% of payloads,
+    // extract, mark per-turn correctness against the goldens, fit
+    // per-path PAV calibrators (driver-side, small validation set by
+    // construction), re-score every turn with the broadcast
+    // piecewise-linear model (rows-only: engine-dependent)
+    "x06_calibrated_conf" -> ((s, _) => {
+      val base = TranscriptGen.inputDf(s, 5000L)
+      val degraded = base.withColumn("text",
+        when(pmod(hash(col("conv_id"), col("turn_idx")), lit(10)) < 3,
+          translate(col("text"), "<>{", "   ")).otherwise(col("text")))
+      val joined = Extract(degraded)
+        .join(TranscriptGen.goldenDf(s, 5000L), Seq("conv_id", "turn_idx"))
+        .withColumn("correct", col("text") === col("expected_text"))
+      val models = graft.calibration.Calibration.fit(
+        joined.select("path", "confidence", "correct"))
+      joined.select(col("conv_id"), col("turn_idx"), col("path"),
+          round(col("confidence"), 6).as("confidence"),
+          round(graft.calibration.Calibration.applyCol(
+            col("confidence"), col("path"), models), 6).as("calibrated"),
+          col("correct"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))

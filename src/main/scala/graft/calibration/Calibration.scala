@@ -1,0 +1,116 @@
+package graft.calibration
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Isotonic confidence calibration (SURVEY X20; reference
+  * `ConfidenceCalibrator`, `pipeline.py:196-369`): maps raw per-path
+  * confidences to empirical accuracy probabilities with a monotone
+  * piecewise-linear model — sklearn `IsotonicRegression
+  * (out_of_bounds='clip')` re-expressed as
+  *
+  *  - FIT: pool-adjacent-violators on the driver over a collected
+  *    (confidence, correct) validation set. Calibration sets are small
+  *    by construction (the reference fits on tens of validation
+  *    documents, `pipeline.py:223-245`); at 100 TB you calibrate on a
+  *    sampled validation slice, never the corpus — collecting it is the
+  *    scale-correct design, not a shortcut. The reference's
+  *    min-10-samples gate is kept (`pipeline.py:231,263`).
+  *  - APPLY: pure broadcast expressions — the breakpoints become two
+  *    literal arrays and the interpolation is one array `filter` + two
+  *    `element_at` reads per row (`np.interp` semantics, clipped at both
+  *    ends), so the expression stays tiny no matter how many breakpoints
+  *    the model has. Per-path models compose with a CASE chain; paths
+  *    without a fitted model keep the raw confidence (reference
+  *    fallback, `pipeline.py:292-295`).
+  */
+object Calibration {
+
+  /** monotone piecewise-linear model: breakpoints sorted by x, unique */
+  final case class Model(xs: Array[Double], ys: Array[Double]) {
+    require(xs.length == ys.length && xs.nonEmpty)
+
+    /** Scala-side interpolation (np.interp with clip) for tests */
+    def interpolate(v: Double): Double = {
+      if (v <= xs.head) return ys.head
+      if (v >= xs.last) return ys.last
+      var i = xs.length - 2
+      while (xs(i) > v) i -= 1
+      ys(i) + (ys(i + 1) - ys(i)) * (v - xs(i)) / (xs(i + 1) - xs(i))
+    }
+
+    /** column form: literal breakpoint arrays + clipped interpolation */
+    def col(conf: Column): Column = {
+      val axs = array(xs.map(lit(_)).toSeq: _*)
+      val ays = array(ys.map(lit(_)).toSeq: _*)
+      val n = xs.length
+      val i = size(filter(axs, x => x <= conf)) // count of xs ≤ conf (1-based left neighbor)
+      when(i === 0, lit(ys.head))
+        .when(i === n, lit(ys.last))
+        .otherwise(
+          element_at(ays, i) +
+            (element_at(ays, i + 1) - element_at(ays, i)) *
+            (conf - element_at(axs, i)) /
+            (element_at(axs, i + 1) - element_at(axs, i)))
+    }
+  }
+
+  /** Pool-adjacent-violators (increasing, L2, duplicate x averaged by
+    * weight) — the exact fit sklearn's IsotonicRegression performs.
+    * Returns the (x, fitted-y) breakpoints.
+    */
+  def pava(points: Seq[(Double, Double)]): Model = {
+    require(points.nonEmpty, "empty calibration set")
+    // group duplicate x by weighted mean, sort by x
+    val grouped = points.groupBy(_._1).toArray
+      .map { case (x, ps) => (x, ps.map(_._2).sum / ps.size, ps.size.toDouble) }
+      .sortBy(_._1)
+    // blocks: (sumY·w mean, weight, firstIdx)
+    val my = new Array[Double](grouped.length) // block mean
+    val mw = new Array[Double](grouped.length) // block weight
+    val lo = new Array[Int](grouped.length) // block start index
+    var top = -1
+    grouped.zipWithIndex.foreach { case ((_, y, w), idx) =>
+      top += 1
+      my(top) = y; mw(top) = w; lo(top) = idx
+      while (top > 0 && my(top - 1) > my(top)) {
+        val wsum = mw(top - 1) + mw(top)
+        my(top - 1) = (my(top - 1) * mw(top - 1) + my(top) * mw(top)) / wsum
+        mw(top - 1) = wsum
+        top -= 1
+      }
+    }
+    val fitted = new Array[Double](grouped.length)
+    (0 to top).foreach { b =>
+      val hi = if (b == top) grouped.length else lo(b + 1)
+      (lo(b) until hi).foreach(i => fitted(i) = my(b))
+    }
+    Model(grouped.map(_._1), fitted)
+  }
+
+  /** Fit per-path calibrators from a validation frame with columns
+    * (pathCol, confCol, correctCol:boolean). Paths with fewer than
+    * `minSamples` rows are skipped (reference gate).
+    */
+  def fit(validation: DataFrame, pathCol: String = "path",
+      confCol: String = "confidence", correctCol: String = "correct",
+      minSamples: Int = 10): Map[String, Model] = {
+    val rows = validation
+      .select(col(pathCol), col(confCol).cast("double"),
+        col(correctCol).cast("double"))
+      .collect()
+    rows.groupBy(_.getString(0))
+      .filter(_._2.length >= minSamples)
+      .map { case (p, rs) =>
+        p -> pava(rs.toSeq.map(r => (r.getDouble(1), r.getDouble(2))))
+      }
+  }
+
+  /** calibrated confidence column: per-path models, raw passthrough for
+    * unfitted paths
+    */
+  def applyCol(conf: Column, path: Column, models: Map[String, Model]): Column =
+    models.toSeq.sortBy(_._1).foldLeft(conf) { case (acc, (p, m)) =>
+      when(path === p, m.col(conf)).otherwise(acc)
+    }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.calibration.Calibration
+
+/** Isotonic calibration (X20): PAV fit against hand-computed sklearn
+  * results, np.interp clip semantics, column/Scala agreement, the
+  * min-samples gate, and the end-to-end x06 query.
+  */
+class CalibrationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("PAV merges adjacent violators exactly like sklearn") {
+    val m = Calibration.pava(Seq(0.1 -> 0.0, 0.2 -> 1.0, 0.3 -> 0.0, 0.4 -> 1.0))
+    assert(m.xs.toSeq === Seq(0.1, 0.2, 0.3, 0.4))
+    assert(m.ys.toSeq === Seq(0.0, 0.5, 0.5, 1.0))
+    // already-monotone input is untouched
+    val id = Calibration.pava(Seq(0.1 -> 0.2, 0.5 -> 0.6, 0.9 -> 0.9))
+    assert(id.ys.toSeq === Seq(0.2, 0.6, 0.9))
+    // duplicate x pooled by mean before fitting
+    val dup = Calibration.pava(Seq(0.5 -> 0.0, 0.5 -> 1.0, 0.8 -> 1.0))
+    assert(dup.xs.toSeq === Seq(0.5, 0.8))
+    assert(dup.ys.toSeq === Seq(0.5, 1.0))
+  }
+
+  test("interpolation clips at both ends and is linear between breakpoints") {
+    val m = Calibration.Model(Array(0.2, 0.6, 1.0), Array(0.1, 0.5, 0.9))
+    assert(m.interpolate(0.0) === 0.1)
+    assert(m.interpolate(1.5) === 0.9)
+    assert(math.abs(m.interpolate(0.4) - 0.3) < 1e-12)
+    assert(m.interpolate(0.6) === 0.5)
+  }
+
+  test("column interpolation equals Scala interpolation") {
+    val m = Calibration.Model(Array(0.2, 0.35, 0.6, 1.0),
+      Array(0.05, 0.4, 0.45, 0.95))
+    val probes = Seq(0.0, 0.2, 0.21, 0.3499, 0.35, 0.5, 0.99, 1.0, 1.2)
+    val got = probes.toDF("c").select(m.col($"c").as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    probes.zip(got).foreach { case (p, g) =>
+      assert(math.abs(g - m.interpolate(p)) < 1e-12, s"at $p")
+    }
+  }
+
+  test("fit skips paths below the 10-sample gate, keeps raw passthrough") {
+    val df = ((1 to 20).map(i => ("html", i / 20.0, i % 2 == 0)) ++
+      (1 to 5).map(i => ("pdf", i / 5.0, true))).toDF("path", "confidence", "correct")
+    val models = Calibration.fit(df)
+    assert(models.keySet === Set("html"))
+    val out = Seq(("pdf", 0.7), ("html", 0.7)).toDF("path", "c")
+      .select($"path", Calibration.applyCol($"c", $"path", models).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("pdf") === 0.7) // unfitted path: raw confidence
+    assert(out("html") >= 0.0 && out("html") <= 1.0)
+  }
+
+  test("calibrated confidence is monotone in raw confidence") {
+    val rng = new scala.util.Random(11)
+    val pts = Seq.fill(60)((rng.nextDouble(), if (rng.nextBoolean()) 1.0 else 0.0))
+    val m = Calibration.pava(pts)
+    val probes = (0 to 100).map(_ / 100.0).map(m.interpolate)
+    assert(probes.zip(probes.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
+
+  test("x06 end-to-end: rows, bounds, and degraded rows carry lower calibration") {
+    val df = SparkEntry.queries("x06_calibrated_conf")(spark, "")
+    val rows = df.collect()
+    assert(rows.length > 1000)
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("calibrated"); c >= -1e-9 && c <= 1 + 1e-9
+    })
+    // calibration must separate: mean calibrated confidence of correct
+    // rows strictly above that of incorrect rows
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("correct"))
+    assert(bad.nonEmpty && ok.nonEmpty)
+    val mOk = ok.map(_.getAs[Double]("calibrated")).sum / ok.length
+    val mBad = bad.map(_.getAs[Double]("calibrated")).sum / bad.length
+    assert(mOk > mBad, s"calibrated means: correct $mOk vs incorrect $mBad")
+  }
+}
