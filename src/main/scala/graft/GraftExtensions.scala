@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HtmlBlocks, PdfGlyphRuns, VecDot}
+import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash, VecDot}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship this
   * library's custom expressions into any session, including pure-SQL
@@ -41,5 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_dot",
         "vec_dot(a, b) - allocation-free dot product of two array<double> columns"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(text) - single-pass 64-bit SimHash document fingerprint"),
+      (children: Seq[Expression]) => Simhash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kie_best"),
+      info("kie_best",
+        "kie_best(text) - best electricity/carbon KIE candidates as struct<ke,kc>"),
+      (children: Seq[Expression]) => KieBest(children.head)))
   }
 }

@@ -140,6 +140,45 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // multi-engine span-vote ensemble (SURVEY J1+A4; reference bbox-IoU
+    // grouping + weighted vote pipeline.py:1729-1837): two token
+    // "engines" over the same plain payloads — corrected tokens at
+    // conf 0.9 vs raw (uncorrected) tokens at conf 0.55 with a jittered
+    // span — clustered by span IoU, one variant elected per cluster
+    // (rows-only: token offsets not SQL-expressible)
+    "x07_span_vote" -> ((s, _) => {
+      import graft.functions.TextFunctions.correctToken
+      val plain = TranscriptGen.inputDf(s, 5000L)
+        .withColumn("__fmt",
+          graft.functions.TextFunctions.sniff(col("text"), col("tool")))
+        .filter(col("__fmt") === "plain")
+        .withColumn("row_id",
+          concat_ws("#", col("conv_id"), col("turn_idx")))
+      val rawToks = split(regexp_replace(
+        regexp_replace(col("text"), "\\A\\s+", ""), "\\s+\\z", ""), "\\s+")
+      // token start offsets in the whitespace-collapsed string
+      val offs = aggregate(rawToks,
+        struct(lit(0).as("pos"), array().cast("array<int>").as("arr")),
+        (acc, t) => struct(
+          (acc.getField("pos") + length(t) + 1).as("pos"),
+          concat(acc.getField("arr"), array(acc.getField("pos"))).as("arr")),
+        acc => acc.getField("arr"))
+      val toks = plain
+        .withColumn("__z",
+          explode(arrays_zip(rawToks.as("tok"), offs.as("off"))))
+        .select(col("row_id"), col("__z.tok").as("tok"),
+          col("__z.off").as("off"))
+      val engA = toks.select(col("row_id"), lit("corrected").as("engine"),
+        correctToken(col("tok")).as("text"), lit(0.9).as("conf"),
+        col("off").as("start"), (col("off") + length(col("tok"))).as("end"))
+      val engB = toks.select(col("row_id"), lit("raw").as("engine"),
+        col("tok").as("text"), lit(0.55).as("conf"),
+        col("off").as("start"),
+        (col("off") + length(col("tok")) + 1).as("end"))
+      graft.operators.SpanVote.vote(engA.unionByName(engB))
+        .orderBy("row_id", "start", "end")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))

@@ -3,14 +3,16 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
 
-import graft.expressions.{HtmlBlocks, PdfGlyphRuns}
+import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash}
 
-/** Column facade + SQL registration for the graft's two custom Catalyst
+/** Column facade + SQL registration for the graft's custom Catalyst
   * expressions. Everything else in the engine is Spark built-ins.
   */
 object GraftFunctions {
 
-  /** `html_blocks(text)` → array<struct<text,start,end,words,link_words,boiler>> */
+  /** `html_blocks(text)` → array<struct<text,start,end,words,link_words,
+    * boiler,cwords,clink_words,cmax_words>>
+    */
   def html_blocks(text: Column): Column =
     column(HtmlBlocks(expr(text)))
 
@@ -18,12 +20,24 @@ object GraftFunctions {
   def pdf_glyph_runs(text: Column): Column =
     column(PdfGlyphRuns(expr(text)))
 
-  /** Register both for SQL use (`SELECT html_blocks(text) ...`). */
+  /** `simhash64(text)` → 64-bit document fingerprint (long) */
+  def simhash64(text: Column): Column =
+    column(Simhash(expr(text)))
+
+  /** `kie_best(text)` → struct<ke:int,kc:int> best field candidates */
+  def kie_best(text: Column): Column =
+    column(KieBest(expr(text)))
+
+  /** Register the expressions for SQL use (`SELECT html_blocks(text)…`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "html_blocks", exprs => HtmlBlocks(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "pdf_glyph_runs", exprs => PdfGlyphRuns(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kie_best", exprs => KieBest(exprs.head), "built-in")
   }
 }

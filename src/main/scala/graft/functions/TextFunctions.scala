@@ -93,4 +93,33 @@ object TextFunctions {
     */
   def geoMeanAgg(conf: Column): Column =
     exp(avg(log(greatest(conf, lit(1e-3)))))
+
+  /** Run-length collapse of repeated characters — the CTC-decode analog
+    * (SURVEY G8; reference collapse-repeats-drop-blanks,
+    * `pytorch_mobile/ocr_pipeline.py:556-594`): "aab  ba" → "ab ba" with
+    * the blank analog being whitespace runs.
+    */
+  def collapseRuns(text: Column): Column =
+    regexp_replace(text, "(.)\\1+", "$1")
+
+  /** Per-field confidence from OCR-style token confidences — the
+    * match-region alignment (SURVEY J2; reference
+    * `_calculate_field_confidence`, `pipeline.py:2505-2529`): geometric
+    * mean (floored at 0.01, capped at 0.99) of the confidences of tokens
+    * whose text occurs in the matched region; null when no token aligns
+    * (callers coalesce to the engine default, mirroring the reference
+    * fallback).
+    * `tokens`: array<struct<text:string, conf:double>>.
+    */
+  def fieldConfidence(matched: Column, tokens: Column): Column = {
+    val rel = filter(tokens, t =>
+      t.getField("conf").isNotNull &&
+        instr(matched, t.getField("text")) > 0)
+    val n = size(rel)
+    when(n > 0,
+      least(
+        exp(aggregate(rel, lit(0.0),
+          (acc, t) => acc + log(greatest(t.getField("conf"), lit(0.01)))) / n),
+        lit(0.99)))
+  }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-engine ensemble voting over span-aligned tokens — the graft
+  * form of the reference's bbox-IoU grouping + weighted vote
+  * (`_calculate_bbox_iou` `pipeline.py:1729-1748`, grouping
+  * `pipeline.py:1774-1799`, vote `pipeline.py:1801-1837`, SURVEY J1+A4):
+  * token candidates from ≥2 extraction passes over the same payload are
+  * clustered by char-span IoU and each cluster elects one text variant
+  * by confidence-weighted vote.
+  *
+  * Scale shape (the J1 idiom): candidate pairs come from an EQUI-join on
+  * (row, span-grid-cell) with the IoU predicate as residual — never an
+  * all-pairs loop; only (ids, spans, conf) shuffle. Clustering is
+  * representative-based like the reference's greedy pass (each token
+  * joins the cluster of its minimal overlapping token), computed with
+  * one aggregation instead of a sequential loop — deterministic under
+  * any partitioning.
+  *
+  * Vote semantics (`pipeline.py:1826-1830`): per variant,
+  * `weighted = Σconf(variant) / |cluster|`; argmax, ties to the
+  * lexicographically first variant (Python's stable max over dict-order
+  * is not portable; a total order is).
+  */
+object SpanVote {
+
+  /** span IoU */
+  def iou(aS: Column, aE: Column, bS: Column, bE: Column): Column = {
+    val inter = greatest(least(aE, bE) - greatest(aS, bS), lit(0))
+    val uni = (aE - aS) + (bE - bS) - inter
+    when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
+  }
+
+  /** Input: (row_id, engine, text, conf, start, end) token candidates.
+    * Output: one elected row per cluster —
+    * (row_id, start, end, text, score, votes, cluster_size).
+    */
+  def vote(tokens: DataFrame, iouThreshold: Double = 0.5,
+      grid: Int = 16): DataFrame = {
+    val ident = struct(col("start"), col("end"), col("engine"), col("text"))
+    val t = tokens.select(col("row_id"), col("engine"), col("text"),
+      col("conf").cast("double").as("conf"),
+      col("start").cast("int").as("start"), col("end").cast("int").as("end"))
+
+    // every grid cell a span touches (equi-join key; IoU is residual)
+    def cells(df: DataFrame): DataFrame =
+      df.withColumn("cell",
+        explode(sequence(floor(col("start") / grid),
+          floor((col("end") - 1) / grid))))
+
+    val a = cells(t).as("a")
+    val b = cells(t).as("b")
+    val pairs = a.join(b,
+        col("a.row_id") === col("b.row_id") &&
+          col("a.cell") === col("b.cell") &&
+          iou(col("a.start"), col("a.end"), col("b.start"), col("b.end"))
+            >= iouThreshold)
+      .select(col("a.row_id").as("row_id"),
+        struct(col("a.start"), col("a.end"), col("a.engine"), col("a.text"))
+          .as("me"),
+        struct(col("b.start"), col("b.end"), col("b.engine"), col("b.text"))
+          .as("partner"))
+      .dropDuplicates("row_id", "me", "partner")
+
+    // representative = minimal overlapping token (self always qualifies
+    // at IoU 1.0) — the greedy cluster anchor
+    val reps = pairs.groupBy(col("row_id"), col("me"))
+      .agg(min(col("partner")).as("rep"))
+
+    val clustered = t
+      .join(reps,
+        t("row_id") === reps("row_id") && ident === col("me"))
+      .select(t("row_id"), col("rep"), col("text"), col("conf"))
+
+    val variants = clustered
+      .groupBy(col("row_id"), col("rep"), col("text"))
+      .agg(count(lit(1)).as("votes"), sum(col("conf")).as("conf_sum"))
+    val wCluster = Window.partitionBy("row_id", "rep")
+    val wRank = Window.partitionBy("row_id", "rep")
+      .orderBy(col("score").desc, col("text"))
+    variants
+      .withColumn("cluster_size", sum(col("votes")).over(wCluster))
+      .withColumn("score",
+        round(col("conf_sum") / col("cluster_size"), 6))
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") === 1)
+      .select(col("row_id"),
+        col("rep.start").as("start"), col("rep.end").as("end"),
+        col("text"), col("score"), col("votes"),
+        col("cluster_size").cast("int").as("cluster_size"))
+  }
+}

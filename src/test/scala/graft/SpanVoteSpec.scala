@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpanVote
+
+/** Span-IoU clustering + weighted vote (SURVEY J1+A4), mirroring the
+  * reference's bbox ensemble semantics (`pipeline.py:1729-1837`).
+  */
+class SpanVoteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def toks(rows: (String, String, String, Double, Int, Int)*) =
+    rows.toDF("row_id", "engine", "text", "conf", "start", "end")
+
+  test("overlapping variants elect the confidence-weighted winner") {
+    val out = SpanVote.vote(toks(
+      ("r", "a", "123", 0.9, 0, 3),
+      ("r", "b", "l23", 0.55, 0, 4))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("text") === "123")
+    assert(out.head.getAs[Int]("cluster_size") === 2)
+    assert(math.abs(out.head.getAs[Double]("score") - 0.45) < 1e-9)
+  }
+
+  test("agreeing engines pool votes and confidence") {
+    val out = SpanVote.vote(toks(
+      ("r", "a", "abc", 0.9, 10, 13),
+      ("r", "b", "abc", 0.5, 10, 13))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("votes") === 2L)
+    assert(math.abs(out.head.getAs[Double]("score") - 0.7) < 1e-9)
+  }
+
+  test("disjoint spans stay in separate clusters; rows never mix") {
+    val out = SpanVote.vote(toks(
+      ("r1", "a", "aa", 0.9, 0, 2),
+      ("r1", "a", "bb", 0.9, 10, 12),
+      ("r2", "a", "aa", 0.9, 0, 2))).collect()
+    assert(out.length === 3)
+  }
+
+  test("grid cells do not split wide spans (IoU join finds cross-cell overlaps)") {
+    val out = SpanVote.vote(toks(
+      ("r", "a", "wide token here", 0.8, 10, 40),
+      ("r", "b", "wide token hero", 0.6, 12, 40)), grid = 16).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("text") === "wide token here")
+  }
+
+  test("x07 end-to-end: elected tokens equal the golden corrected tokens") {
+    val voted = SparkEntry.queries("x07_span_vote")(spark, "")
+      .groupBy("row_id")
+      .agg(sort_array(collect_list(struct(col("start"), col("text"))))
+        .as("elected"))
+      .select(col("row_id"),
+        transform(col("elected"), e => e.getField("text")).as("texts"))
+    val golden = graft.gen.TranscriptGen.goldenDf(spark, 5000L)
+      .filter(col("expected_path") === "plain")
+      .select(concat_ws("#", col("conv_id"), col("turn_idx")).as("row_id"),
+        split(col("expected_text"), " ").as("exp"))
+    val joined = voted.join(golden, Seq("row_id"))
+    assert(joined.count() > 500)
+    assert(joined.filter(col("texts") =!= col("exp")).count() === 0)
+  }
+}
