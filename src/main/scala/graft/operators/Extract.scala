@@ -176,7 +176,7 @@ object Extract {
     * parsed-run fraction over candidate `G ` lines.
     */
   private def pdfRes(raw: Column, plain: Column, wspan: Column,
-      runs: Column, sorted: Column): Column = {
+      runs: Column, sorted: Column, candidates: Column): Column = {
     val text = aggregate(sorted,
       struct(lit("").as("s"), lit(-1).as("ln")),
       (acc, r) => struct(
@@ -191,8 +191,6 @@ object Extract {
     val spans = transform(sorted, r =>
       spanOf(r.getField("start"), r.getField("end")))
 
-    val candidates = size(filter(split(raw, "\n"), l =>
-      substring(l, 1, 2) === "G "))
     val nLines = size(array_distinct(transform(runs, _.getField("line"))))
 
     val conf = when(candidates > 0,
@@ -229,6 +227,10 @@ object Extract {
       .withColumn("__pr", when(fmt === "pdf", pdf_glyph_runs(raw)))
       .withColumn("__sorted", when(fmt === "pdf",
         array_sort(col("__pr"), (a, b) => readingOrder(a, b))))
+      // candidate `G `-line count, staged: referenced by confidence AND
+      // status — inlined it re-split the raw payload 3× per row
+      .withColumn("__cand", when(fmt === "pdf",
+        size(filter(split(raw, "\n"), l => substring(l, 1, 2) === "G "))))
       .withColumn("__tj", when(fmt === "tooljson",
         get_json_object(raw, "$.output.text")))
 
@@ -248,7 +250,8 @@ object Extract {
     val routed = staged2.withColumn("__x",
       when(fmt === "blank", blankRes)
         .when(fmt === "pdf",
-          pdfRes(raw, plain, wspan, col("__pr"), col("__sorted")))
+          pdfRes(raw, plain, wspan, col("__pr"), col("__sorted"),
+            col("__cand")))
         .when(fmt === "html",
           htmlRes(plain, wspan, col("__hb"), col("__kept")))
         .when(fmt === "tooljson", toolJsonRes(raw, col("__tj"), plain, wspan))
