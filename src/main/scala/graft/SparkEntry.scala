@@ -56,28 +56,36 @@ object SparkEntry {
     // not post-hoc). Full-conversation text at scale is the bucketed
     // job's sortWithinPartitions layout (x03), never a groupBy.
     "x02_conv_assembly" -> ((s, _) => {
-      val out = Extract(TranscriptGen.inputDf(s, 5000L))
-      val stats = out.groupBy(col("conv_id"))
+      // SINGLE aggregation pass (round-2 verdict: the stats/preview split
+      // evaluated Extract twice — one groupBy now computes both; the
+      // preview buffer stays bounded because collect_list skips the
+      // nulls that the `when(turn_idx < 50, ...)` gate produces, so at
+      // most 50 structs ever enter the buffer per conversation).
+      Extract(TranscriptGen.inputDf(s, 5000L))
+        .groupBy(col("conv_id"))
         .agg(
           count(lit(1)).as("n_turns"),
           sum(when(col("status") === "success", 1).otherwise(0)).as("n_success"),
           round(exp(avg(log(greatest(col("confidence"), lit(1e-3))))), 6)
-            .as("geo_conf"))
-      val preview = out.filter(col("turn_idx") < 50)
-        .groupBy(col("conv_id"))
-        .agg(array_join(
-          transform(
-            sort_array(collect_list(struct(col("turn_idx"), col("text")))),
-            t => t.getField("text")),
-          "\n").as("conv_text_head"))
-      stats.join(preview, Seq("conv_id"), "left")
+            .as("geo_conf"),
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("turn_idx") < 50,
+                struct(col("turn_idx"), col("text"))))),
+              t => t.getField("text")),
+            "\n").as("conv_text_head"))
     }),
 
     // the full bucketed job: salted-bucket layout + manifest lineage
     // (returns the per-bucket manifest rows; fresh output dir each run)
     "x03_bucketed_job_manifest" -> ((s, _) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-x03-").toString
+      // scratch output on tmpfs when available: the sandbox's single
+      // shared /tmp DISK serves other tenants' I/O storms; a cluster
+      // would write to distributed storage, not one local spindle
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val out = (if (java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.createTempDirectory(shm, "graft-x03-")
+        else java.nio.file.Files.createTempDirectory("graft-x03-")).toString
       graft.plans.ExtractionJob.run(s, TranscriptGen.inputDf(s, 5000L),
           graft.plans.ExtractionJob.Config(out, numBuckets = 16))
         .select("bucket", "turns_processed", "blocks_dropped",
@@ -254,12 +262,21 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // ================= relational battery (TPC-H-ish; DuckDB-verified)
+    // Aggregate OUTPUT dtype rule (round-2 fix): the driver hashes pandas
+    // values, and DuckDB's sum(DECIMAL)→DECIMAL(38,2) / sum(BIGINT)→HUGEINT
+    // arrive as float64 while Spark's decimal/long parquet arrive as
+    // Decimal objects / int64 — numerically equal, hash-different. So every
+    // SUM is cast to a common final dtype on BOTH sides: decimal sums →
+    // round(CAST(sum AS DOUBLE), 2); bigint sums → BIGINT. (Inputs still
+    // sum as DECIMAL — float sums are partition-order dependent.)
     "q01_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -271,7 +288,8 @@ object SparkEntry {
       orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
@@ -375,7 +393,8 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
           count(lit(1)).as("pn"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("pq")).as("sum_qty"), sum(col("pn")).as("n"))
+        .agg(round(sum(col("pq")).cast("double"), 2).as("sum_qty"),
+          sum(col("pn")).as("n"))
         .orderBy("l_returnflag")
     })
   )
@@ -444,13 +463,14 @@ object SparkEntry {
 
       "q01_agg" ->
         """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
            count(*) AS count_order
            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "q02_broadcast_join" ->
-        """SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        """SELECT n_name,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_orders
            FROM orders JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
@@ -506,13 +526,13 @@ object SparkEntry {
 
       "q09_json_extract" ->
         """SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
 
       "q10_salted_agg" ->
         """SELECT l_returnflag,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
            count(*) AS n
            FROM lineitem GROUP BY 1 ORDER BY 1"""
     ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
