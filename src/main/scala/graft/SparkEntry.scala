@@ -232,7 +232,7 @@ object SparkEntry {
     "t08_ann_lsh" -> ((s, dir) => {
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
-        planes = 4, dim = 64).orderBy("query_id", "rank")
+        planes = 4, dim = 64, probes = 2).orderBy("query_id", "rank")
     }),
 
     // IVF-bucketed ANN (builder-prompt scale path): Lloyd-trained coarse

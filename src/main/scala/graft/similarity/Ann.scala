@@ -8,7 +8,7 @@ import graft.dedup.Dedup.{cosinePrenormed, dot}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *    set against the corpus, one narrow pass computing cosine, then a
   *    per-query top-k window. This is the correctness baseline and the
@@ -16,14 +16,19 @@ import graft.dedup.Dedup.{cosinePrenormed, dot}
   *    scanned ONCE with no shuffle of vectors; only (query_id, vec_id,
   *    cos) survives to the window shuffle, and the window partitions by
   *    query_id so skew is bounded by the corpus/query ratio.
-  *  - [[lshTopK]] — random-hyperplane LSH: bucket both sides by sign-bit
-  *    signature, equi-join on bucket, top-k within candidates. At 10^12
-  *    vectors the bucket join shuffles ids+buckets (~16 bytes/row), not
-  *    vectors; recall is tuned with `planes` (fewer planes → bigger
-  *    buckets) and multi-probe (`probes` signatures per side).
+  *  - [[lshTopK]] — random-hyperplane LSH with multi-probe: bucket both
+  *    sides by sign-bit signature, probe the query's own bucket plus the
+  *    `probes-1` single-bit flips with the smallest |margin| (the planes
+  *    the query is closest to — the standard multi-probe choice), exact
+  *    cosine + top-k within candidates. At 10^12 vectors the bucket join
+  *    shuffles ids+buckets (~16 bytes/row), not vectors; recall is tuned
+  *    with `planes` (fewer planes → bigger buckets) and `probes`.
+  *  - [[ivfTopK]] — IVF: corpus inverted-listed by nearest coarse
+  *    centroid, queries probe their `nprobe` nearest cells.
   *
-  * Both paths are pure built-in expressions (zip_with/aggregate dot
-  * products — SURVEY guidance) — no UDFs anywhere.
+  * All paths are pure built-in/native expressions — no UDFs anywhere.
+  * The IVF model (nlist×dim doubles) lives on the driver like the
+  * calibration model; every data pass stays distributed.
   */
 object Ann {
 
@@ -35,15 +40,27 @@ object Ann {
     (pmod(xxhash64(lit(p * 100003 + d)), lit(2000000L)).cast("double")
       / 1000000.0) - 1.0
 
+  /** per-plane signed margins (dot products with the hyperplanes) —
+    * staged ONCE per row; both the bucket bits and the multi-probe flip
+    * choice read this array.
+    */
+  private def planeDots(v: Column, planes: Int, dim: Int): Column =
+    array((0 until planes).map { p =>
+      (0 until dim).map(d =>
+        element_at(v, d + 1) * planeComponent(p, d)).reduce(_ + _)
+    }: _*)
+
+  /** sign-bit bucket id from a staged margin array */
+  private def bucketFromDots(ds: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      when(element_at(ds, p + 1) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
   /** Sign-bit bucket id from `planes` hyperplanes over a double array.
     * dim must be the (fixed) embedding dimensionality.
     */
   def hyperplaneBucket(v: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val dot = (0 until dim).map(d =>
-        element_at(v, d + 1) * planeComponent(p, d)).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+    bucketFromDots(planeDots(v, planes, dim), planes)
 
   /** Exact cosine top-k for each query vector (queries broadcast). Output:
     * (query_id, vec_id, cos, rank) with rank 1..k, ties broken by vec_id.
@@ -67,103 +84,150 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** IVF coarse quantizer: `nlist` centroids trained with `iters` Lloyd
-    * rounds, deterministic seeding (the nlist corpus vectors with the
-    * smallest xxhash64 rank — reproducible across runs and partitions).
-    * Output: (cid, cv: array<double>).
+  // --------------------------------------------------------------- IVF
+
+  /** Per-row nearest centroid (max cosine) over BROADCAST centroid
+    * literals: an argmax fold over nlist (score, cid) structs — no
+    * crossJoin, no explode, no re-shuffle of vectors (the round-2 form
+    * crossJoined every vector × nlist through a groupBy). |v| is constant
+    * across candidates, so scores divide by the driver-precomputed
+    * centroid norms only. Ties pick the larger cid (struct `greatest`) —
+    * deterministic.
+    */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.length >= 2, "need at least 2 centroids")
+    greatest(cents.zipWithIndex.map { case (cv, cid) =>
+      val n = math.max(math.sqrt(cv.map(x => x * x).sum), 1e-12)
+      struct((dot(v, typedLit(cv)) / n).as("s"), lit(cid).as("cid"))
+    }: _*).getField("cid")
+  }
+
+  /** The query's `nprobe` best cells: ascending array_sort of literal
+    * (-score, cid) structs (→ score desc, cid asc), first nprobe cids.
+    * Pure per-row expression — replaces the round-2 crossJoin + window.
+    */
+  private def topCells(qv: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(cents.zipWithIndex.map { case (cv, cid) =>
+        val n = math.max(math.sqrt(cv.map(x => x * x).sum), 1e-12)
+        struct((-dot(qv, typedLit(cv)) / n).as("s"), lit(cid).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** IVF coarse quantizer: `nlist` centroids, `iters` Lloyd rounds.
+    * Returns the driver-side model (index = cell id).
     *
-    * Scale notes: centroids are TINY (nlist×dim) and always broadcast;
-    * each Lloyd round is one broadcast join (assign, narrow) + one
-    * per-dimension hash aggregate (update) whose shuffle rows are
-    * (cid, dim_idx, partial) — independent of corpus vector bytes. The
-    * seeding window sorts hash ranks of (id) pairs only; at the
-    * 10^12-vector regime seed/train on a sampled slice instead — the
-    * interface stays the same.
+    * Scale design: the model is TINY (nlist×dim doubles) and the driver
+    * holds it like the calibration model; every data pass is distributed:
+    *  - seeding — the nlist corpus vectors with the smallest
+    *    (xxhash64(vec_id), vec_id) rank via orderBy(...).limit(nlist),
+    *    which Spark plans as TakeOrderedAndProject (per-partition top-k
+    *    + driver merge; the round-2 no-partition window was a
+    *    single-task global sort — gone). Deterministic across runs and
+    *    partitionings.
+    *  - assign — [[nearestCentroid]]: narrow per-row argmax, no shuffle;
+    *  - update — one (cid, dim_idx) hash aggregate whose shuffle rows
+    *    are independent of corpus vector bytes; the nlist×dim result is
+    *    collected to refresh the model. Empty cells keep their centroid.
+    * At the 10^12-vector regime, train on a hash-sampled slice
+    * (`corpus.filter(pmod(xxhash64(id), K) === 0)`) — the interface and
+    * model shape are unchanged.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Array[Array[Double]] = {
     val v = corpus.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
-    val w = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var cents = v.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nlist)
-      .select((col("rk") - 1).cast("int").as("cid"), col("v").as("cv"))
+    var cents: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(v, cents)
-      cents = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      val sums = v
+        .select(nearestCentroid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(avg(col("x")).as("x"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("x")))),
-          s => s.getField("x")).as("cv"))
+        .collect()
+      val next = cents.clone()
+      sums.groupBy(_.getAs[Int]("cid")).foreach { case (cid, rows) =>
+        val arr = next(cid).clone()
+        rows.foreach(r => arr(r.getAs[Int]("i")) = r.getAs[Double]("x"))
+        next(cid) = arr
+      }
+      cents = next
     }
     cents
   }
 
-  /** nearest-centroid assignment by cosine (broadcast centroids) */
-  private def assignCells(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .withColumn("__cos",
-        dot(col("v"), col("cv")) /
-          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), col("__cos")).as("cid"), first(col("v")).as("v"))
-
-  /** IVF top-k: corpus vectors are inverted-listed by nearest centroid;
-    * each query probes its `nprobe` nearest cells and ranks EXACT cosine
-    * within the probed candidates. The candidate join is an equi-join on
-    * cell id — at 10^12 vectors only ~nprobe/nlist of the corpus is
-    * touched per query, and nothing shuffles but (cid)-keyed rows.
+  /** IVF top-k: corpus vectors are inverted-listed by nearest centroid
+    * (a narrow per-row expression — cells are disjoint, so no candidate
+    * duplication); each query probes its `nprobe` nearest cells and
+    * ranks EXACT cosine within the probed candidates. The candidate join
+    * broadcasts the (queries × nprobe) probe rows against the cell-keyed
+    * corpus — at 10^12 vectors only ~nprobe/nlist of the corpus is
+    * touched per query and corpus vectors never shuffle.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val cents = ivfCentroids(corpus, nlist, iters, vecCol, idCol)
-    val c = assignCells(
-        corpus.select(col(idCol).as("vec_id"),
-          col(vecCol).cast("array<double>").as("v")), cents)
+    val c = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cid", nearestCentroid(col("v"), cents))
       .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__cos").desc, col("cid"))
     val qprobe = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos",
-        dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("cid", explode(topCells(col("qv"), cents, nprobe)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    c.join(qprobe, Seq("cid"))
+    c.join(broadcast(qprobe), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePrenormed(col("qv"), col("v"),
           col("qnorm"), col("vnorm")), 6).as("cos"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Approximate top-k: candidates = corpus vectors sharing the query's
-    * hyperplane bucket (equi-join on bucket id), exact cosine + top-k
-    * within candidates. `dim` is the embedding dimensionality.
+  // --------------------------------------------------------------- LSH
+
+  /** Approximate top-k: candidates = corpus vectors in any of the query's
+    * `probes` probed buckets (its own + the smallest-|margin| single-bit
+    * flips), equi-join on bucket id, exact cosine + top-k within
+    * candidates. `dim` is the embedding dimensionality. Probed buckets
+    * are distinct and corpus vectors live in exactly one bucket, so no
+    * candidate is scored twice.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      planes: Int = 8, dim: Int = 64,
+      planes: Int = 8, dim: Int = 64, probes: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1] (got $probes with $planes planes)")
+    val masks = typedLit((0 until planes).map(p => 1L << p).toArray)
     val c = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
       .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), planes, dim))
+    val q0 = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("__ds", planeDots(col("qv"), planes, dim))
+      .withColumn("__base", bucketFromDots(col("__ds"), planes))
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // flip order: ascending |margin| — the planes the query sits closest
+    // to are the likeliest sign flips of its near neighbors
+    val flipOrder = array_sort(array((0 until planes).map(p =>
+      struct(abs(element_at(col("__ds"), p + 1)).as("m"),
+        lit(p).as("p"))): _*))
+    val q = q0
+      .withColumn("bucket", explode(concat(
+        array(col("__base")),
+        transform(slice(flipOrder, 1, probes - 1), s =>
+          col("__base").bitwiseXOR(
+            element_at(masks, s.getField("p") + 1))))))
+      .select("query_id", "qv", "qnorm", "bucket")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     c.as("c").join(broadcast(q.as("q")),

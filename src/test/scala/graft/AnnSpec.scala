@@ -84,6 +84,40 @@ class AnnSpec extends SparkSpecBase {
     assert(cosOk)
   }
 
+  test("lshTopK multi-probe: superset of single-probe hits, recall never drops") {
+    val qs = corpus.filter(col("vec_id") < 6)
+    def hits(probes: Int): Set[(Long, Long)] =
+      Ann.lshTopK(corpus, qs, k = 99, planes = 3, dim = 8, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = hits(1)
+    val p3 = hits(3)
+    assert(p1.subsetOf(p3), "probing extra buckets must only add candidates")
+    assert(p3.size > p1.size, "3 probes over 8 buckets must widen candidates")
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(h: Set[(Long, Long)]): Double =
+      (h & exact).size.toDouble / exact.size
+    assert(recall(p3) >= recall(p1))
+    assert(recall(p3) >= 0.5, s"multi-probe recall ${recall(p3)} too low")
+  }
+
+  test("ivf plans: TakeOrderedAndProject seeding, no cartesian/global-window") {
+    // the seed query shape must plan as a distributed top-k (per-partition
+    // limit + driver merge), never a global sort or one-partition window
+    val seedPlan = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(8)
+      .queryExecution.executedPlan.toString
+    assert(seedPlan.contains("TakeOrderedAndProject"))
+    val plan = Ann.ivfTopK(corpus, corpus.filter(col("vec_id") < 4),
+        k = 5, nlist = 8, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the only window is the per-query rank — partitioned by query_id
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition(query_id"))
+  }
+
   test("hyperplane bucket is deterministic across partitionings") {
     val withBuckets = corpus
       .select(col("vec_id"),
