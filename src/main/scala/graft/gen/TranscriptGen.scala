@@ -71,6 +71,7 @@ object TranscriptGen {
       else if (d < 63) "html"
       else if (d < 78) "pdf"
       else if (d < 90) "tooljson"
+      else if (d < 93) "lowconf"
       else "blank"
     }
 
@@ -92,6 +93,10 @@ object TranscriptGen {
         val (raw, expected, status, spans) = toolJsonPayload(rng)
         GenTurn(convId, turnIdx, "tool", raw, tool, ts,
           expected, "tooljson", status, spans)
+      case "lowconf" =>
+        val (raw, expected, path, spans) = lowconfPayload(rng)
+        GenTurn(convId, turnIdx, roleOf(turnIdx), raw, null, ts,
+          expected, path, "fallback", spans)
       case _ =>
         val raw = rng.nextInt(4) match {
           case 0 => null
@@ -202,6 +207,43 @@ object TranscriptGen {
     } else {
       val start = pre.length
       (raw, content, "success", Seq(Span(start, start + content.length)))
+    }
+  }
+
+  // ---------------------------------------------------------------- lowconf
+
+  /** τ-ladder fixtures (reference keep-whichever-is-better retry,
+    * `pipeline.py:1984-2050`): payloads that PARSE on their sniffed path
+    * but at confidence below the plain alternative's 0.3, so the ladder
+    * must return the plain normalization of the raw payload ("fallback").
+    * Two shapes:
+    *  - html whose only content block is a pure link farm (link density
+    *    1 → block score floored at 1e-3; the aggressive re-parse cannot
+    *    beat plain's 0.3 either) — the round-2 engine returned that
+    *    near-zero-confidence block;
+    *  - pdf with mostly malformed `G ` lines (run fraction < 0.3).
+    * Expected = whitespace-collapse of the trimmed raw (no token is
+    * digit-confusable by construction, so char correction is identity);
+    * span = the whole trimmed content region.
+    */
+  private def lowconfPayload(rng: scala.util.Random): (String, String, String, Seq[Span]) = {
+    if (rng.nextBoolean()) {
+      val nl = 6 + rng.nextInt(6)
+      val linkTxt = Array.fill(nl)(words(rng.nextInt(words.length)))
+        .map(w => s"""<a href="#">$w</a>""").mkString(" ")
+      val raw =
+        s"<!doctype html><html><body>\n<div><p>$linkTxt</p></div>\n</body></html>"
+      val expected = raw.split("\\s+").mkString(" ")
+      (raw, expected, "html", Seq(Span(0, raw.length)))
+    } else {
+      val good = Array.fill(3 + rng.nextInt(4))(words(rng.nextInt(words.length)))
+        .mkString(" ")
+      val nBad = 3 + rng.nextInt(3) // conf = 1/(1+nBad) <= 0.25 < 0.3
+      val bad = (0 until nBad)
+        .map(b => s"G ${50 + b * 10} ${140 + b * 40}").mkString("\n")
+      val raw = s"%PDF-SIM\nG 40 100 10 $good\n$bad"
+      val expected = raw.split("\\s+").mkString(" ")
+      (raw, expected, "pdf", Seq(Span(0, raw.length)))
     }
   }
 

@@ -33,6 +33,21 @@ object Extract {
   /** classifier: minimum words for a content block (Boilerpipe-style) */
   val MinWords = 8
 
+  /** Confidence ladder (reference `config.py:10-12`: accept 0.95 /
+    * enhance 0.90 / escalate 0.85; routing `pipeline.py:1984-2050`): a
+    * parse at or above TauEnhance is accepted as-is; below it the
+    * alternate parses of the SAME row (aggressive re-parse, plain
+    * normalization) are evaluated lazily and whichever confidence wins is
+    * kept — the scale-correct form of the reference's "retry at 600 DPI
+    * and keep whichever is better" (a filter+union second pass would
+    * double the input scan at 100 TB). The escalate tier (<0.85 → LLM)
+    * has no Spark analog by design; keep-better best-effort applies.
+    */
+  val TauEnhance = 0.90
+
+  /** fixed confidence of the plain-normalization alternative */
+  val PlainAltConf = 0.3
+
   /** output struct shared by every path */
   private def res(path: Column, text: Column, spans: Column, conf: Column,
       status: Column, total: Column, kept: Column): Column =
@@ -128,30 +143,39 @@ object Extract {
   })
 
   /** HTML path assembly from staged columns: `blocks` = all tokenized
-    * blocks, `kept` = density-classified content blocks. Confidence is the
-    * reference's top-k geometric mean (A1) over per-block
-    * (1 - link_density²) scores. Zero kept blocks triggers the aggressive
-    * re-parse branch: keep every non-boiler block regardless of density.
+    * blocks, `kept` = density-classified content blocks, `aggr` = the
+    * aggressive re-parse (every non-boiler block regardless of density),
+    * `ck`/`ca` = their staged geometric-mean confidences (ca pre-halved —
+    * the re-parse penalty). Confidence is the reference's top-k geometric
+    * mean (A1) over per-block (1 - link_density²) scores.
+    *
+    * τ-ladder ([[TauEnhance]]): primary at ≥ 0.90 is accepted; below
+    * that, keep-better across primary / aggressive / plain-normalization
+    * (the round-2 form only cascaded on EMPTY parses — a one-garbage-
+    * block parse at confidence 0.001 never tried the alternatives).
+    * Ladder-chosen alternatives report status "fallback" (the status
+    * vocabulary is the {success, fallback, blank} contract).
     */
   private def htmlRes(plain: Column, wspan: Column, blocks: Column,
-      kept: Column): Column = {
+      kept: Column, aggr: Column, ck: Column, ca: Column): Column = {
     def assemble(ks: Column, conf: Column, status: Column): Column =
       res(lit("html"),
         array_join(transform(ks, b => b.getField("text")), "\n"),
         transform(ks, b => spanOf(b.getField("start"), b.getField("end"))),
         conf, status, size(blocks), size(ks))
 
-    val aggressive = filter(blocks, b => !b.getField("boiler"))
+    val ckv = coalesce(ck, lit(-1.0))
+    val cav = coalesce(ca, lit(-1.0))
 
-    when(size(kept) > 0,
-      assemble(kept, geoMeanTopK(blockScores(kept)), lit("success")))
-      .when(size(aggressive) > 0,
-        assemble(aggressive,
-          geoMeanTopK(blockScores(aggressive)) * 0.5, lit("fallback")))
-      // cascade (reference best-effort return, `pipeline.py:2052-2065`):
-      // a parse that extracted NOTHING keeps the better alternative —
-      // the plain normalization of the raw payload at low confidence —
-      // instead of an empty row
+    when(size(kept) > 0 && ck >= TauEnhance,
+      assemble(kept, ck, lit("success")))
+      // keep-better ladder below τ_enhance (primary wins ties)
+      .when(size(kept) > 0 && ckv >= cav && ckv >= PlainAltConf,
+        assemble(kept, ck, lit("success")))
+      .when(cav >= greatest(ckv, lit(PlainAltConf)),
+        assemble(aggr, ca, lit("fallback")))
+      // best-effort return (`pipeline.py:2052-2065`): the plain
+      // normalization of the raw payload beats everything parsed
       .otherwise(plainAlt(plain, wspan, lit("html"), size(blocks)))
   }
 
@@ -171,12 +195,17 @@ object Extract {
   }
 
   /** PDF path assembly from staged columns: `runs` (parsed glyph runs with
-    * y-gap line clustering) and `sorted` (reading-order sorted). Line
-    * assembly via aggregate with line-change separators. Confidence =
-    * parsed-run fraction over candidate `G ` lines.
+    * y-gap line clustering), `sorted` (reading-order sorted), and `conf`
+    * (staged parsed-run fraction over candidate `G ` lines). Line
+    * assembly via aggregate with line-change separators.
+    *
+    * τ-ladder: the pdf alternative IS the plain normalization — a parse
+    * whose run fraction falls below [[PlainAltConf]] loses the
+    * keep-better comparison and returns the plain alternative (the
+    * round-2 form only cascaded when ZERO runs parsed).
     */
-  private def pdfRes(raw: Column, plain: Column, wspan: Column,
-      runs: Column, sorted: Column, candidates: Column): Column = {
+  private def pdfRes(plain: Column, wspan: Column,
+      runs: Column, sorted: Column, conf: Column): Column = {
     val text = aggregate(sorted,
       struct(lit("").as("s"), lit(-1).as("ln")),
       (acc, r) => struct(
@@ -193,14 +222,12 @@ object Extract {
 
     val nLines = size(array_distinct(transform(runs, _.getField("line"))))
 
-    val conf = when(candidates > 0,
-      size(runs).cast("double") / candidates.cast("double")).otherwise(lit(0.0))
-
-    when(size(runs) > 0,
+    when(size(runs) > 0 && conf >= PlainAltConf,
       res(lit("pdf"), text, spans, conf,
         when(conf >= 1.0, "success").otherwise("fallback"),
         nLines, nLines))
-      // cascade: zero parsed runs → keep-better plain alternative
+      // keep-better: zero runs OR run fraction below the plain
+      // alternative's confidence → plain normalization wins
       .otherwise(plainAlt(plain, wspan, lit("pdf"), lit(0)))
   }
 
@@ -224,6 +251,15 @@ object Extract {
       .withColumn("__hb", when(fmt === "html", html_blocks(raw)))
       .withColumn("__kept", when(fmt === "html",
         filter(col("__hb"), b => keepBlock(b))))
+      .withColumn("__aggr", when(fmt === "html",
+        filter(col("__hb"), b => !b.getField("boiler"))))
+      // staged path confidences — referenced by the τ-ladder result
+      // branches AND the plain-gating predicate below (inlining the
+      // geo-mean subtree twice would double the per-row cost)
+      .withColumn("__ck", when(fmt === "html" && size(col("__kept")) > 0,
+        geoMeanTopK(blockScores(col("__kept")))))
+      .withColumn("__ca", when(fmt === "html" && size(col("__aggr")) > 0,
+        geoMeanTopK(blockScores(col("__aggr"))) * 0.5))
       .withColumn("__pr", when(fmt === "pdf", pdf_glyph_runs(raw)))
       .withColumn("__sorted", when(fmt === "pdf",
         array_sort(col("__pr"), (a, b) => readingOrder(a, b))))
@@ -231,16 +267,23 @@ object Extract {
       // status — inlined it re-split the raw payload 3× per row
       .withColumn("__cand", when(fmt === "pdf",
         size(filter(split(raw, "\n"), l => substring(l, 1, 2) === "G "))))
+      .withColumn("__pconf", when(fmt === "pdf",
+        when(col("__cand") > 0,
+          size(col("__pr")).cast("double") / col("__cand").cast("double"))
+          .otherwise(lit(0.0))))
       .withColumn("__tj", when(fmt === "tooljson",
         get_json_object(raw, "$.output.text")))
 
     // plain-path text + whole-span, staged ONCE and gated to the rows
     // that can actually read them (plain/tooljson always; html/pdf only
-    // when their parse produced nothing → cascade branch)
+    // when every parsed alternative sits below the plain alternative's
+    // confidence → the ladder will pick plain)
     val needPlain = fmt === "plain" || fmt === "tooljson" ||
       (fmt === "html" &&
-        size(filter(col("__hb"), b => !b.getField("boiler"))) === 0) ||
-      (fmt === "pdf" && size(col("__pr")) === 0)
+        greatest(coalesce(col("__ck"), lit(-1.0)),
+          coalesce(col("__ca"), lit(-1.0))) < PlainAltConf) ||
+      (fmt === "pdf" &&
+        (size(col("__pr")) === 0 || col("__pconf") < PlainAltConf))
     val staged2 = staged
       .withColumn("__plain", when(needPlain, plainNormalize(raw)))
       .withColumn("__wspan", when(needPlain, wholeSpan(raw)))
@@ -250,10 +293,10 @@ object Extract {
     val routed = staged2.withColumn("__x",
       when(fmt === "blank", blankRes)
         .when(fmt === "pdf",
-          pdfRes(raw, plain, wspan, col("__pr"), col("__sorted"),
-            col("__cand")))
+          pdfRes(plain, wspan, col("__pr"), col("__sorted"), col("__pconf")))
         .when(fmt === "html",
-          htmlRes(plain, wspan, col("__hb"), col("__kept")))
+          htmlRes(plain, wspan, col("__hb"), col("__kept"), col("__aggr"),
+            col("__ck"), col("__ca")))
         .when(fmt === "tooljson", toolJsonRes(raw, col("__tj"), plain, wspan))
         .otherwise(plainRes(plain, wspan)))
 

@@ -55,4 +55,18 @@ class GoldenEqualitySpec extends SparkSpecBase {
   test("fallback status is exercised (malformed tooljson)") {
     assert(out.filter(col("status") === "fallback").count() > 0)
   }
+
+  test("τ-ladder keep-better is exercised: low-confidence html AND pdf parses " +
+    "return the plain alternative at PlainAltConf") {
+    // the generator's lowconf class parses on its sniffed path but below
+    // the plain alternative's confidence — the ladder must have swapped in
+    // the plain normalization (conf exactly PlainAltConf, zero blocks kept)
+    for (p <- Seq("html", "pdf")) {
+      val ladder = out.filter(col("path") === p &&
+        col("status") === "fallback" &&
+        col("confidence") === Extract.PlainAltConf)
+      assert(ladder.count() > 0, s"no ladder-fallback rows for path $p")
+      assert(ladder.filter(col("blocks_kept") =!= 0).count() === 0)
+    }
+  }
 }
