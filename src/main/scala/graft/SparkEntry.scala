@@ -187,6 +187,59 @@ object SparkEntry {
         .orderBy("row_id", "start", "end")
     }),
 
+    // extraction-core normalization under the DuckDB oracle (round-2
+    // verdict #4): sniff class + plain normalization (trim/collapse +
+    // gated char correction) + whole-span offsets over the documents
+    // table, with deterministic per-row mutations exercising every sniff
+    // branch. This puts the north-star plain path's exact semantics under
+    // the hard per-value signal (x01 itself stays rows-only: the
+    // html/pdf tokenizers are not SQL-expressible).
+    "x08_plain_normalize" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val m = pmod(col("doc_id"), lit(7))
+      val staged = docs.withColumn("__t",
+        when(m === 0, concat(lit("<p>"), col("text"), lit("</p>")))
+          .when(m === 1, concat(lit("%PDF-SIM\n"), col("text")))
+          .when(m === 2, concat(lit("  \t"), col("text"), lit(" \n")))
+          .when(m === 3, lit("   \t "))
+          .otherwise(col("text")))
+      val t = col("__t")
+      staged.select(col("doc_id"),
+          sniff(t, lit(null).cast("string")).as("sniffed"),
+          plainNormalize(t).as("norm_text"),
+          contentStart(t).cast("int").as("span_start"),
+          contentEnd(t).cast("int").as("span_end"))
+        .orderBy("doc_id")
+    }),
+
+    // X19 calibrated confidence fusion over the x05 fields (oracle =
+    // the same arithmetic layered over the x05 oracle)
+    "x09_fused_conf" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      graft.operators.FieldExtract.withFusedConfidence(
+          graft.operators.FieldExtract.withFields(
+            graft.gen.BillGen.withBill(docs)))
+        .select("doc_id", "raw_conf", "field_accuracy", "completeness",
+          "fused_conf", "needs_review")
+        .orderBy("doc_id")
+    }),
+
+    // nested utility-bill payload projection (F6 nested form; rows-only —
+    // JSON text layout is engine-specific; PayloadSpec pins the schema)
+    "x10_bill_payload" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val fused = graft.operators.FieldExtract.withFusedConfidence(
+        graft.operators.FieldExtract.withFields(
+          graft.gen.BillGen.withBill(docs)))
+      fused.select(col("doc_id"),
+          graft.operators.FieldExtract.payloadCol(col("bill")).as("payload"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
@@ -409,6 +462,34 @@ object SparkEntry {
     Map(
       "x05_field_extract" ->
         graft.operators.FieldExtract.oracle(graft.gen.BillGen.billSql),
+
+      "x08_plain_normalize" ->
+        """WITH m AS (
+             SELECT doc_id, CASE
+               WHEN doc_id % 7 = 0 THEN '<p>' || text || '</p>'
+               WHEN doc_id % 7 = 1 THEN '%PDF-SIM' || chr(10) || text
+               WHEN doc_id % 7 = 2 THEN repeat(' ', 2) || chr(9) || text || ' ' || chr(10)
+               WHEN doc_id % 7 = 3 THEN repeat(' ', 3) || chr(9) || ' '
+               ELSE text END AS t
+             FROM documents)
+           SELECT doc_id,
+             CASE WHEN t IS NULL OR regexp_matches(t, '\A[\s\x00-\x1F]*\z') THEN 'blank'
+                  WHEN regexp_matches(t, '(?s)\A\s*(<[^>]{0,200}>\s*)?%PDF-') THEN 'pdf'
+                  WHEN regexp_matches(t, '(?is)\A\s*<(!doctype|!--|[a-z][a-z0-9]*[\s>/])') THEN 'html'
+                  ELSE 'plain' END AS sniffed,
+             CASE WHEN t IS NULL OR regexp_matches(t, '\A[\s\x00-\x1F]*\z') THEN ''
+                  ELSE array_to_string(list_transform(
+                    string_split_regex(regexp_replace(regexp_replace(t, '\A\s+', ''), '\s+\z', ''), '\s+'),
+                    w -> CASE WHEN regexp_matches(w, '\A[0-9lIoOzZsSgGbB|]+\z')
+                                AND regexp_matches(w, '[0-9]')
+                         THEN translate(w, 'lI|OoZzSsGgBb', '1110022556988')
+                         ELSE w END), ' ') END AS norm_text,
+             CAST(length(t) - length(regexp_replace(t, '\A\s+', '')) AS INT) AS span_start,
+             CAST(length(regexp_replace(t, '\s+\z', '')) AS INT) AS span_end
+           FROM m ORDER BY doc_id""",
+
+      "x09_fused_conf" ->
+        graft.operators.FieldExtract.fusedOracle(graft.gen.BillGen.billSql),
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 

@@ -428,6 +428,99 @@ object FieldExtract {
       "__kiewins", "__e1", "__c1", "__econf", "__cconf", "__ree", "__rec")
   }
 
+  /** X19 calibrated confidence fusion (`pytorch_mobile/ocr_pipeline.py:
+    * 1142-1173`; no-ground-truth accuracy branch `:1135-1138`):
+    * raw·0.4 + field_accuracy·0.35 + completeness·0.25, clamped to [0,1].
+    *  - field_accuracy = extracted critical fields / 3 (electricity,
+    *    account number, bill date — the reference's completeness-as-
+    *    accuracy fallback when no golden is attached);
+    *  - completeness = 0.8·critical + 0.2·optional (carbon, water,
+    *    current reading), `:1150-1158`;
+    *  - the processing-time quality penalty (`:1160-1162`) has no batch
+    *    analog (no raster decode) → 0;
+    *  - raw = the electricity engine confidence (the reference's
+    *    `_ocr_confidence` carrier), 0 when absent.
+    * Truthiness mirrors Python (`fields.get(f)`): numerics count when
+    * non-null and non-zero, strings when non-null and non-empty.
+    * `needs_review` mirrors manualVerificationRequired
+    * (fused < 0.7, `ocr_pipeline.py:1261`).
+    */
+  def withFusedConfidence(df: DataFrame): DataFrame = {
+    def num(c: Column) = (c.isNotNull && c =!= 0).cast("int")
+    def str(c: Column) = (c.isNotNull && c =!= "").cast("int")
+    val crit = (num(col("electricity_kwh")) + str(col("account_number")) +
+      str(col("bill_date"))).cast("double") / 3.0
+    val opt = (num(col("carbon_kgco2e")) + num(col("water_m3")) +
+      str(col("current_reading"))).cast("double") / 3.0
+    df.withColumn("raw_conf", coalesce(col("elec_conf"), lit(0.0)))
+      .withColumn("field_accuracy", round(crit, 6))
+      .withColumn("completeness", round(crit * 0.8 + opt * 0.2, 6))
+      .withColumn("fused_conf", round(
+        least(lit(1.0), greatest(lit(0.0),
+          col("raw_conf") * 0.4 + crit * 0.35 +
+            (crit * 0.8 + opt * 0.2) * 0.25)), 6))
+      .withColumn("needs_review", col("fused_conf") < 0.7)
+  }
+
+  /** Nested utility-bill payload projection (F6's nested form;
+    * `build_utility_bill_payload`, `pytorch_mobile/ocr_pipeline.py:
+    * 1176-1286`; golden instance `DEWA_Utility_Bill_Extracted.json:1-63`):
+    * `to_json(struct(...))` over the extracted+fused columns — a pure
+    * sink-boundary projection. Deviations from the Python dict, noted:
+    * conditional sections (electricity/water/emissions) are ABSENT when
+    * their gating field is missing (to_json drops null structs) where the
+    * reference emits `{}`; filename-derived provider detection and
+    * wall-clock metadata have no batch analog (provider literal, sha256
+    * of the bill text instead of the image file).
+    */
+  def payloadCol(billCol: Column): Column = {
+    def s(c: Column) = coalesce(c, lit(""))
+    def d(c: Column) = round(coalesce(c.cast("double"), lit(0.0)), 6)
+    to_json(struct(
+      lit("utility_bill").as("documentType"),
+      struct(
+        struct(
+          lit("Unknown Provider").as("providerName"),
+          s(col("account_number")).as("accountNumber"),
+          struct(
+            s(col("billing_start_date")).as("startDate"),
+            s(col("billing_end_date")).as("endDate"),
+            lit("Monthly").as("periodicity")).as("billingPeriod"),
+          s(col("bill_date")).as("billDate")).as("billInfo"),
+        struct(
+          when(col("electricity_kwh").isNotNull && col("electricity_kwh") =!= 0,
+            struct(
+              d(col("electricity_kwh")).as("value"),
+              lit("kWh").as("unit"),
+              lit("measured").as("dataQuality"),
+              struct(
+                s(col("current_reading")).as("current"),
+                s(col("previous_reading")).as("previous"),
+                lit("actual").as("readingType")).as("meterReading")))
+            .as("electricity"),
+          when(col("water_m3").isNotNull && col("water_m3") =!= 0,
+            struct(d(col("water_m3")).as("value"), lit("m3").as("unit")))
+            .as("water"),
+          struct(d(col("peak_demand")).as("value"), lit("kW").as("unit"))
+            .as("peakDemand")).as("consumptionData"),
+        when(col("carbon_kgco2e").isNotNull && col("carbon_kgco2e") =!= 0,
+          struct(struct(
+            struct(d(col("carbon_kgco2e")).as("value"),
+              lit("kgCO2e").as("unit")).as("totalCO2e"),
+            struct(d(col("carbon_kgco2e")).as("electricity")).as("breakdown"))
+            .as("scope2"))).as("emissionsData"),
+        struct(
+          lit("United Arab Emirates").as("region"),
+          lit("UAE_GRID_2024").as("gridMix"),
+          lit("2024").as("year")).as("emissionFactorReference")).as("extractedData"),
+      struct(
+        col("fused_conf").as("confidence"),
+        lit("graft_spark_expression").as("extractionMethod"),
+        col("needs_review").as("manualVerificationRequired"),
+        col("raw_conf").as("rawOcrConfidence")).as("validation"),
+      struct(sha2(billCol, 256).as("sha256")).as("metadata")))
+  }
+
   // ======================================================== DuckDB oracle
 
   private def sq(s: String) = "'" + s.replace("'", "''") + "'"
@@ -575,4 +668,28 @@ object FieldExtract {
       ${normChainSql("bill", energyChain)} AS adv_electricity,
       ${normChainSql("bill", carbonChain)} AS adv_carbon
     FROM s8 ORDER BY doc_id"""
+
+  /** DuckDB twin of [[withFusedConfidence]], layered over [[oracle]] —
+    * same truthiness tests, same left-associated arithmetic, so the
+    * doubles match bit-for-bit.
+    */
+  def fusedOracle(billSql: String): String =
+    s"""SELECT doc_id, raw_conf,
+      round(crit, 6) AS field_accuracy,
+      round(crit*0.8 + opt*0.2, 6) AS completeness,
+      fused AS fused_conf,
+      fused < 0.7 AS needs_review
+    FROM (
+      SELECT *, round(LEAST(1.0, GREATEST(0.0,
+        raw_conf*0.4 + crit*0.35 + (crit*0.8 + opt*0.2)*0.25)), 6) AS fused
+      FROM (
+        SELECT doc_id, COALESCE(elec_conf, 0.0) AS raw_conf,
+          (CAST(electricity_kwh IS NOT NULL AND electricity_kwh <> 0 AS INT)
+           + CAST(account_number IS NOT NULL AND account_number <> '' AS INT)
+           + CAST(bill_date IS NOT NULL AND bill_date <> '' AS INT)) / 3.0 AS crit,
+          (CAST(carbon_kgco2e IS NOT NULL AND carbon_kgco2e <> 0 AS INT)
+           + CAST(water_m3 IS NOT NULL AND water_m3 <> 0 AS INT)
+           + CAST(current_reading IS NOT NULL AND current_reading <> '' AS INT)) / 3.0 AS opt
+        FROM (${oracle(billSql)})))
+    ORDER BY doc_id"""
 }
