@@ -39,13 +39,18 @@ object Calibration {
       ys(i) + (ys(i + 1) - ys(i)) * (v - xs(i)) / (xs(i + 1) - xs(i))
     }
 
-    /** column form: literal breakpoint arrays + clipped interpolation */
+    /** column form: literal breakpoint arrays + clipped interpolation.
+      * NULL confidence stays NULL (raw-passthrough contract) — without
+      * the guard, `filter(axs, _ <= null)` drops every element and the
+      * i===0 branch would fabricate the lowest breakpoint from nothing.
+      */
     def col(conf: Column): Column = {
       val axs = array(xs.map(lit(_)).toSeq: _*)
       val ays = array(ys.map(lit(_)).toSeq: _*)
       val n = xs.length
       val i = size(filter(axs, x => x <= conf)) // count of xs ≤ conf (1-based left neighbor)
-      when(i === 0, lit(ys.head))
+      when(conf.isNull, lit(null).cast("double"))
+        .when(i === 0, lit(ys.head))
         .when(i === n, lit(ys.last))
         .otherwise(
           element_at(ays, i) +

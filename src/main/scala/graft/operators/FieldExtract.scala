@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
   * Regex dialect: every pattern below is written in the common
   * Java-regex ∩ RE2 subset (no lookahead/lookbehind, single-digit
   * backrefs), so the identical pattern string runs in Spark (Java) and
-  * DuckDB (RE2). Two deliberate re-expressions, both
-  * first-match-equivalent in chain position: the `(?!\s*CO2)` tail of the
-  * last simple-carbon pattern is dropped (reachable only when the
-  * `kg\s*CO2` pattern already failed, which implies the lookahead), and
+  * DuckDB (RE2). Two deliberate re-expressions: the `(?!\s*CO2)` tail of
+  * the last simple-carbon pattern is EMULATED by pre-blanking
+  * ([[carbonFirstInt]] — first-match-equivalent, including when an
+  * earlier pattern matched but failed its range guard), and
   * CARBON_ALT_RE's `(?=\s|$|kg)` becomes a consuming `(?:\s|kg|$)`.
   */
 object FieldExtract {
@@ -90,7 +90,8 @@ object FieldExtract {
     s"""usage[:\\s]+($numAlt)""")
 
   /** simple carbon patterns, [10,20000] guard (`pipeline.py:2413-2434`);
-    * last pattern's `(?!\s*CO2)` dropped — see dialect note above.
+    * the last pattern's `(?!\s*CO2)` tail is emulated by [[carbonFirstInt]]
+    * (pre-blanking), keeping the table itself in the RE2∩Java subset.
     */
   val carbPatterns: Seq[String] = Seq(
     """(\d{1,4})\s*kg\s*CO2e?""",
@@ -99,6 +100,22 @@ object FieldExtract {
     """footprint[^0-9]*(\d{1,4})""",
     """emissions.*?CO2e.*?(\d{1,4})""",
     """(\d{1,4})\s*kg""")
+
+  /** blanked before the bare `N kg` pattern — the `(?!\s*CO2)` emulation */
+  val KgCo2Blank = """\d{1,4}\s*kg\s*CO2"""
+
+  /** Carbon chain with the reference's `(?!\s*CO2)` lookahead emulated in
+    * the RE2∩Java subset (ADVICE r2: in '5 kg CO2 ... 200 kg flour' the
+    * reference's last pattern skips the CO2-adjacent 5 and extracts 200):
+    * the bare `(\d{1,4})\s*kg` pattern runs against a copy with
+    * `N kg CO2` occurrences blanked, so the first match of the blanked
+    * text is exactly the first not-followed-by-CO2 match of the original.
+    */
+  def carbonFirstInt(t: Column): Column =
+    coalesce(
+      firstInt(t, carbPatterns.init, 10, 20000),
+      firstInt(regexp_replace(t, ci(KgCo2Blank), " "),
+        Seq(carbPatterns.last), 10, 20000))
 
   /** advanced OCR-tolerant chains (reference `pipeline.py:2071-2090`,
     * X1/X2) — values go through `_normalise_number` (X9), no range guard
@@ -284,9 +301,14 @@ object FieldExtract {
     val ns = num.cast("string")
     val pos = instr(text, ns) // 1-based, 0 when absent
     val start = greatest(pos - 50, lit(1))
-    val ctx = lower(concat(
-      text.substr(start, pos - start),
-      text.substr(pos + length(ns), lit(50))))
+    // the reference window `(.{0,50})NUM(.{0,50})` has no DOTALL, so its
+    // context clips at newlines — mirror that: keep the before-window
+    // past its last newline, the after-window up to its first (ADVICE r2)
+    val before = regexp_replace(
+      text.substr(start, pos - start), "(?s).*\n", "")
+    val after = regexp_replace(
+      text.substr(pos + length(ns), lit(50)), "(?s)\n.*", "")
+    val ctx = lower(concat(before, after))
     val anyOf = (ws: Seq[String]) => ws.map(w => ctx.contains(w)).reduce(_ || _)
     val ok =
       if (isElectricity) anyOf(elecUnitWords) || anyOf(elecBillWords)
@@ -358,7 +380,7 @@ object FieldExtract {
       .withColumn("__pre", preprocessOcrErrors(t))
       .withColumn("__ct", numericalCorrections(t))
       .withColumn("__se", firstInt(t, elecPatterns, 50, 50000))
-      .withColumn("__sc", firstInt(t, carbPatterns, 10, 20000))
+      .withColumn("__sc", carbonFirstInt(t))
       // KIE candidate scan as ONE native single-pass expression (same
       // semantics as [[kieField]], which remains the declarative spec —
       // cross-checked in FieldExtractSpec; the declarative form measured
@@ -400,7 +422,7 @@ object FieldExtract {
     val rec = col("__rec")
     val out = merged
       .withColumn("__ree", firstInt(col("__ct"), elecPatterns, 50, 50000))
-      .withColumn("__rec", firstInt(col("__ct"), carbPatterns, 10, 20000))
+      .withColumn("__rec", carbonFirstInt(col("__ct")))
       .withColumn("electricity_kwh",
         when(changed && ree.isNotNull &&
           contextValid(col("__ct"), ree, isElectricity = true), ree)
@@ -543,6 +565,15 @@ object FieldExtract {
       s"CASE WHEN $v BETWEEN $lo AND $hi THEN $v END"
     }.mkString(", ") + ")"
 
+  /** twin of [[carbonFirstInt]] — note DuckDB regexp_replace needs the
+    * explicit 'g' flag to blank EVERY `N kg CO2` occurrence (Spark's
+    * replaces all by default).
+    */
+  private def carbonFirstIntSql(x: String) =
+    s"COALESCE(${firstIntSql(x, carbPatterns.init, 10, 20000)}, " +
+      firstIntSql(s"regexp_replace($x, ${sqCi(KgCo2Blank)}, ' ', 'g')",
+        Seq(carbPatterns.last), 10, 20000) + ")"
+
   private def firstStrSql(x: String, pats: Seq[String], i: Int = 1) =
     "COALESCE(" + pats.map(p => exGSql(x, p, i)).mkString(", ") + ")"
 
@@ -568,8 +599,9 @@ object FieldExtract {
     val ns = s"CAST($n AS VARCHAR)"
     val pos = s"strpos($x, $ns)"
     val start = s"greatest($pos - 50, 1)"
-    val ctx = s"lower(substr($x, $start, greatest($pos - $start, 0)) || " +
-      s"substr($x, $pos + length($ns), 50))"
+    // newline-clipped windows — see contextValid
+    val ctx = s"lower(regexp_replace(substr($x, $start, greatest($pos - $start, 0)), '(?s).*\\n', '') || " +
+      s"regexp_replace(substr($x, $pos + length($ns), 50), '(?s)\\n.*', ''))"
     val words = if (elec) elecUnitWords ++ elecBillWords else carbonUnitWords
     val ok = words.map(w => s"contains($ctx, ${sq(w)})").mkString(" OR ")
     s"($pos = 0 OR $ok)"
@@ -606,7 +638,7 @@ object FieldExtract {
         ${rulesSql("bill", preprocessRules, ci = true)} AS pre,
         ${rulesSql("bill", numericalRules, ci = false)} AS ct,
         ${firstIntSql("bill", elecPatterns, 50, 50000)} AS se,
-        ${firstIntSql("bill", carbPatterns, 10, 20000)} AS sc
+        ${carbonFirstIntSql("bill")} AS sc
       FROM base),
     s2 AS (
       SELECT *, string_split_regex(pre, '\\s+') AS toks
@@ -638,7 +670,7 @@ object FieldExtract {
         CASE WHEN kiewins THEN COALESCE(ke, se) ELSE se END AS e1,
         CASE WHEN kiewins THEN COALESCE(kc, sc) ELSE sc END AS c1,
         ${firstIntSql("ct", elecPatterns, 50, 50000)} AS ree,
-        ${firstIntSql("ct", carbPatterns, 10, 20000)} AS rec,
+        ${carbonFirstIntSql("ct")} AS rec,
         (ct <> bill) AS changed
       FROM s6),
     s8 AS (

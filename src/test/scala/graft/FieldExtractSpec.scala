@@ -48,6 +48,31 @@ class FieldExtractSpec extends SparkSpecBase {
     assert(r.getAs[Any]("electricity_kwh") === 123)
   }
 
+  test("bare-kg pattern skips CO2-adjacent weights (lookahead emulation)") {
+    // reference `(?!\s*CO2)`: '5 kg CO2' fails pattern #1's [10,20000]
+    // guard, and the bare `N kg` pattern must then skip the CO2-adjacent
+    // 5 and take 200 — a naive first-match takes 5, fails the guard, and
+    // returns null (ADVICE r2)
+    val Seq(r) = extract(
+      "shipment note says 5 kg CO2 canister plus 200 kg flour delivered")
+    assert(r.getAs[Any]("carbon_kgco2e") === 200)
+  }
+
+  test("context validation windows clip at newlines (phase-3 override)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 'kwh' sits on the PREVIOUS line: the reference's non-DOTALL
+    // `(.{0,50})NUM(.{0,50})` never sees it, so the window must not
+    // validate electricity context across the line break
+    val crossLine = "usage was many kwh total\nvalue 123 with no unit words here"
+    val sameLine = "usage was many kwh total value 123 with no unit words here"
+    def ctxOk(t: String): Boolean =
+      Seq(t).toDF("t").select(
+        FieldExtract.contextValid(col("t"), lit(123), isElectricity = true)
+          .as("ok")).head().getBoolean(0)
+    assert(!ctxOk(crossLine))
+    assert(ctxOk(sameLine))
+  }
+
   test("range guards reject out-of-range values (F4)") {
     val Seq(r) = extract(
       "Electricity 30 kWh xxxxxx xxxxx xxxxxxx xxxxx xxxxxxx 5 kg CO2e")
