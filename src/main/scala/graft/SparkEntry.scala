@@ -240,6 +240,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tier→strategy adaptive routing (reference classify→route→extract
+    // shape, `adaptive_ocr_pipeline.py:349-407`): quality tier selects
+    // engine + preprocessing chain, annotated per row, DuckDB-verified
+    "x11_adaptive_route" -> ((s, dir) =>
+      graft.operators.AdaptiveRoute.route(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+        .select("doc_id", "tier", "engine", "preprocessing", "reason",
+          "routed_text")
+        .orderBy("doc_id")),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
@@ -490,6 +500,8 @@ object SparkEntry {
 
       "x09_fused_conf" ->
         graft.operators.FieldExtract.fusedOracle(graft.gen.BillGen.billSql),
+
+      "x11_adaptive_route" -> graft.operators.AdaptiveRoute.oracle,
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
