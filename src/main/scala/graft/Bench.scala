@@ -22,14 +22,18 @@ import graft.operators.Extract
   * Part 2 — the north-rule scaling evidence: the full extraction job
   * (parquet scan → sniff → route → extract → bucket-repartition →
   * sortWithinPartitions → noop) over the SAME materialized transcript
-  * table at local[N] and local[4N] (N = SPARK_GRAFT_CPUS/8 → the 4/16
+  * table at local[N] and local[4N] (N = SPARK_GRAFT_CPUS/16 → the 2/8
   * pair on this host), the sandbox stand-in for N- vs 4N-executor
-  * clusters (per driver instruction). The input is sized so each measured
-  * run is ≥ 30 s (SPARK_GRAFT_BENCH_TURNS_4N, default 4 M turns — sized
-  * from the round-2 clean windows; at 600 k turns the wide configs
-  * measured fixed job overhead, not the engine). An optional tail pair
-  * (local[1] vs local[N] on a quarter-size input) anchors an operating
-  * point where the shared host reliably supplies every requested core.
+  * clusters (per driver instruction). The pair sits BELOW half the
+  * host's 32 shared vCPUs deliberately: round-3 measurements showed the
+  * box itself cannot supply 16 concurrent cores (pure-compute control
+  * efficiency 0.58–0.71 at 4→16 across windows), so wider pairs measure
+  * hypervisor steal, not the engine — exactly like production executors
+  * sized below the machine. The input is sized so the wide run stays
+  * ≥ ~25 s and the narrow run ≥ ~80 s (SPARK_GRAFT_BENCH_TURNS_4N,
+  * default 3.2 M turns; at 600 k turns the wide configs measured fixed
+  * job overhead, not the engine). An optional tail pair (local[1] vs
+  * local[N] on a quarter-size input) anchors the per-core floor.
   *
   * Wall-clock budget: SPARK_GRAFT_BENCH_BUDGET_SEC (default 780 s) — the
   * round-2 protocol could not fit the driver's budget (timeout for two
@@ -111,20 +115,24 @@ object Bench {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     try {
-      force(Extract(s.read.parquet(inDir).limit(20000))) // JIT/codegen warm-up
+      // phase timings to stderr: child overhead must stay visible (the
+      // r3 trial's local[4] child spent ~200 s beyond its extract)
+      val w = time(force(Extract(s.read.parquet(inDir).limit(20000)))) // JIT/codegen warm-up
       def ctl(): Double = time(
         s.range(ctlWork(cores))
           .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))
           .collect())
-      def ext(): Double = time(force(extractionJob(s, inDir)))
-      ctl() // control warm-up
       // BRACKET the extract run with controls: the sample is only trusted
       // if the windows immediately around it were interference-free (the
       // host steals CPU in bursts longer than one run). One extract per
-      // child — cross-round minimums supply the repetition.
-      val c0 = ctl(); val e1 = ext(); val c1 = ctl()
+      // child — cross-round minimums supply the repetition. c0 doubles as
+      // the control JIT warm-up (bracket = max keeps it conservative).
+      val c0 = ctl()
+      val e1 = time(force(extractionJob(s, inDir)))
+      val c1 = ctl()
       val bracket = math.max(c0, c1)
       val ctlMin = math.min(c0, c1)
+      System.err.println(f"[child $cores] warmup $w%.1f s, c0 $c0%.1f s, extract $e1%.1f s, c1 $c1%.1f s")
       println(f"CHILD $cores $e1%.3f $ctlMin%.3f $bracket%.3f")
     } finally {
       s.stop()
@@ -160,7 +168,8 @@ object Bench {
     try {
       val out = new StringBuilder
       val p = Process(cmd).run(ProcessLogger(l => out.synchronized {
-        out.append(l).append('\n') }, _ => ()))
+        out.append(l).append('\n') },
+        e => if (e.startsWith("[child")) System.err.println(e)))
       val deadline = System.nanoTime() + (timeoutSec * 1e9).toLong
       var done = false
       while (!done && System.nanoTime() < deadline) {
@@ -196,7 +205,7 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val turns4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_4N", "4000000").toLong
+    val turns4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_4N", "3200000").toLong
     val turnsAnchor = turns4N / 4
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
@@ -241,7 +250,7 @@ object Bench {
       def derive(inputs: Double*)(f: => Double): Double =
         if (inputs.exists(v => v < 0 || v.isNaN || v.isInfinite)) -1.0
         else { val v = f; if (v.isNaN || v.isInfinite || v < 0) -1.0 else v }
-      val four = math.max(cpus / 2, 4)
+      val four = math.max(cpus / 4, 4)
       val n = math.max(four / 4, 1)
       val sec1 = minExtract(1, anchor)
       val secNanchor = minExtract(n, anchor)
@@ -261,7 +270,7 @@ object Bench {
           f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
           f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
           f""""normalized_efficiency":$effNormalized%.3f,""" +
-          f""""efficiency_1_to_4":$eff1toN%.3f,"samples":${samples.size}}"""
+          f""""efficiency_1_to_n":$eff1toN%.3f,"samples":${samples.size}}"""
       emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
     }
 
@@ -293,17 +302,18 @@ object Bench {
     System.err.println(f"[bench] battery+inputs done at $elapsed%.0f s (budget $budget%.0f s)")
 
     // ---- part 2: N vs 4N scaling, alternating fresh child JVMs.
-    // The pair is (cpus/8, cpus/2) — local[4] vs local[16] here — because
-    // claiming ALL host vCPUs triggers a hypervisor sys-time storm that
-    // measures the host, not the engine; half-width still leaves headroom
-    // for GC threads exactly like a production executor sized below the
-    // machine.
-    val four = math.max(cpus / 2, 4)
+    // The pair is (cpus/16, cpus/4) — local[2] vs local[8] here — so the
+    // wide config claims only a quarter of the host's shared vCPUs: the
+    // box cannot supply more concurrently (measured control ceilings),
+    // and claiming ALL vCPUs triggers a hypervisor sys-time storm that
+    // measures the host, not the engine.
+    val four = math.max(cpus / 4, 4)
     val n = math.max(four / 4, 1)
     // last observed wall cost per config (startup+controls+extract), for
-    // budget gating; seeded pessimistically from the round-2 windows
+    // budget gating; seeded from round-3 healthy-window measurements
+    // with degraded-phase headroom
     val est = scala.collection.mutable.Map[Int, Double](
-      n -> 200.0, four -> 110.0, 1 -> 200.0)
+      n -> 220.0, four -> 100.0, 1 -> 180.0)
     def tryChild(c: Int, dir: String, turns: Long): Unit = {
       val remaining = budget - elapsed
       if (remaining < est(c) * 0.9) {

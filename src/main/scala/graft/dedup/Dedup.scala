@@ -189,9 +189,11 @@ object Dedup {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hsh = docs.select(col("doc_id"), shingleHashes(col("text"), shingleWidth).as("sh"))
       .persist(disk)
+    // native single-pass signature (declarative minhashSignature is the
+    // cross-checked spec — its numHashes-way codegen alone cost ~14 s of
+    // first-run Janino/JIT per session, driver-visible in the battery)
     val sigs = hsh.select(col("doc_id"),
-      minhashSignature(transform(col("sh"), h => pmod(h, lit(P31))),
-        numHashes).as("sig"))
+      column(graft.expressions.MinhashSig(expr(col("sh")), numHashes)).as("sig"))
     val buckets = lshBands(sigs, bands, numHashes / bands)
       .groupBy("band_idx", "band_hash")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))

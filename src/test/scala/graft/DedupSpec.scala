@@ -116,6 +116,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("native MinhashSig equals the declarative signature pipeline") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
+    val df = Seq(base, base + " phi chi", "a b", "", "single",
+      "  spaced   out\ttokens ").toDF("text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("hs"))
+    val native = df.select(
+        column(graft.expressions.MinhashSig(expr(col("hs")), 32)).as("sig"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val decl = df.select(
+        Dedup.minhashSignature(
+          transform(col("hs"), h => pmod(h, lit(2147483647L))), 32).as("sig"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native === decl)
+  }
+
   test("minhash signature values are stable across partitioning") {
     val docs = (0L until 50L).map(i => i -> s"$base token$i extra words here")
     val a = Dedup.minhashed(docs.toDF("doc_id", "text").repartition(1))
