@@ -230,7 +230,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // samples accumulate here; the line is re-emitted after every one
-    var samples = Vector.empty[(Int, String, Long, Double, Double, Double)]
+    // (cores, dir, turns, extractSec, ctlMin, bracket, round)
+    var samples = Vector.empty[(Int, String, Long, Double, Double, Double, Int)]
     def emitCurrent(big: String, anchor: String): Unit = {
       def minExtract(c: Int, dir: String): Double = {
         val mine = samples.filter(s => s._1 == c && s._2 == dir)
@@ -259,7 +260,28 @@ object Bench {
       val tps1 = derive(sec1)(turnsAnchor / sec1)
       val tpsN = derive(secN)(turns4N / secN)
       val tps4N = derive(sec4N)(turns4N / sec4N)
-      val effRaw = derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
+      // Scaling efficiency comes from a SAME-ROUND pair — same job, same
+      // input, same host phase (the r3 trials showed cross-round minima
+      // silently mix phases: a narrow run from a degraded window against
+      // a wide run from a healthy one read 1.4, meaningless). Among
+      // complete rounds, take the one with the cleanest brackets
+      // (pre-registered interference criterion, not outcome-based);
+      // minima-based only as fallback when no round completed both.
+      val roundPairs = samples.groupBy(_._7).toSeq.sortBy(_._1).flatMap {
+        case (r, ss) =>
+          for {
+            wn <- ss.find(s => s._1 == n && s._2 == big)
+            w4 <- ss.find(s => s._1 == four && s._2 == big)
+          } yield {
+            val penalty = math.max(wn._6 / math.max(wn._5, 1e-9),
+              w4._6 / math.max(w4._5, 1e-9))
+            (penalty, (wn._4 / w4._4) / 4.0, r)
+          }
+      }
+      val effRaw =
+        if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
+        else derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
+      val effRounds = roundPairs.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
       val effControl = derive(ctlThr(four), ctlThr(n))(ctlThr(four) / ctlThr(n) / 4.0)
       val effNormalized = derive(effRaw, effControl)(effRaw / effControl)
       val eff1toN = derive(secNanchor, tps1)((turnsAnchor / secNanchor) / tps1 / n)
@@ -268,7 +290,8 @@ object Bench {
           f""""sec_1":$sec1%.1f,"sec_n_anchor":$secNanchor%.1f,"sec_n":$secN%.1f,"sec_4n":$sec4N%.1f,""" +
           f""""turns_per_sec_1":$tps1%.1f,""" +
           f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
-          f""""efficiency":$effRaw%.3f,"control_efficiency":$effControl%.3f,""" +
+          f""""efficiency":$effRaw%.3f,"efficiency_rounds":$effRounds,""" +
+          f""""control_efficiency":$effControl%.3f,""" +
           f""""normalized_efficiency":$effNormalized%.3f,""" +
           f""""efficiency_1_to_n":$eff1toN%.3f,"samples":${samples.size}}"""
       emit(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
@@ -314,7 +337,7 @@ object Bench {
     // with degraded-phase headroom
     val est = scala.collection.mutable.Map[Int, Double](
       n -> 220.0, four -> 100.0, 1 -> 180.0)
-    def tryChild(c: Int, dir: String, turns: Long): Option[Double] = {
+    def tryChild(c: Int, dir: String, turns: Long, round: Int): Option[Double] = {
       val remaining = budget - elapsed
       if (remaining < est(c) * 0.9) {
         System.err.println(f"[bench] skipping local[$c] (est ${est(c)}%.0f s > remaining $remaining%.0f s)")
@@ -323,8 +346,8 @@ object Bench {
       val t0 = elapsed
       val r = runChild(c, dir, timeoutSec = remaining - 10).map { case (e, ctl, br) =>
         System.err.println(
-          f"[bench] local[$c] ($turns turns): extract $e%.2f s, control $ctl%.2f s, bracket $br%.2f s")
-        samples :+= ((c, dir, turns, e, ctl, br))
+          f"[bench] round $round local[$c] ($turns turns): extract $e%.2f s, control $ctl%.2f s, bracket $br%.2f s")
+        samples :+= ((c, dir, turns, e, ctl, br, round))
         emitCurrent(big, anchor)
         e
       }
@@ -341,7 +364,7 @@ object Bench {
       // measured runs.
       var ranNarrow = false
       (1 to rounds).foreach { r =>
-        val t4n = tryChild(four, big, turns4N)
+        val t4n = tryChild(four, big, turns4N, r)
         val best4n = samples.filter(s => s._1 == four && s._2 == big)
           .map(_._4).minOption
         val phaseOk = (t4n, best4n) match {
@@ -349,7 +372,7 @@ object Bench {
           case _ => true
         }
         if (!ranNarrow || phaseOk) {
-          ranNarrow |= tryChild(n, big, turns4N).isDefined
+          ranNarrow |= tryChild(n, big, turns4N, r).isDefined
         } else {
           System.err.println(
             f"[bench] round $r: degraded phase (wide extract ${t4n.getOrElse(-1.0)}%.1f s), narrow run deferred")
@@ -357,8 +380,8 @@ object Bench {
       }
       // optional tail: the (1 → n) anchor pair on the quarter-size input
       // (per-core throughput floor + a narrow-width efficiency point)
-      tryChild(1, anchor, turnsAnchor)
-      tryChild(n, anchor, turnsAnchor)
+      tryChild(1, anchor, turnsAnchor, 0)
+      tryChild(n, anchor, turnsAnchor, 0)
     }
 
     // free the tmpfs inputs — they are measurement scratch, not results
