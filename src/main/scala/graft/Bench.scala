@@ -125,8 +125,13 @@ object Bench {
       // BRACKET the extract run with controls: the sample is only trusted
       // if the windows immediately around it were interference-free (the
       // host steals CPU in bursts longer than one run). One extract per
-      // child — cross-round minimums supply the repetition. c0 doubles as
-      // the control JIT warm-up (bracket = max keeps it conservative).
+      // child — cross-round minimums supply the repetition. A 1/8-size
+      // control first pays the control path's JIT outside the brackets
+      // (an unwarmed c0 measured 2-3 s of compile time as fake
+      // interference in the r3 trials).
+      time(s.range(ctlWork(cores) / 8)
+        .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))
+        .collect())
       val c0 = ctl()
       val e1 = time(force(extractionJob(s, inDir)))
       val c1 = ctl()
