@@ -164,18 +164,18 @@ object SparkEntry {
           concat_ws("#", col("conv_id"), col("turn_idx")))
       val rawToks = split(regexp_replace(
         regexp_replace(col("text"), "\\A\\s+", ""), "\\s+\\z", ""), "\\s+")
-      // token start offsets in the whitespace-collapsed string
-      val offs = aggregate(rawToks,
-        struct(lit(0).as("pos"), array().cast("array<int>").as("arr")),
-        (acc, t) => struct(
-          (acc.getField("pos") + length(t) + 1).as("pos"),
-          concat(acc.getField("arr"), array(acc.getField("pos"))).as("arr")),
-        acc => acc.getField("arr"))
+      // token start offsets in the whitespace-collapsed string: LINEAR
+      // running sum over exploded (row, pos, tok) — the round-2 form
+      // built the offset array with a per-element array concat inside
+      // `aggregate`, which is O(tokens²) per row (a mega-turn of 10^5
+      // tokens would do 10^10 copies); the window partitions by row so
+      // state is bounded by one turn
+      val offW = Window.partitionBy("row_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
       val toks = plain
-        .withColumn("__z",
-          explode(arrays_zip(rawToks.as("tok"), offs.as("off"))))
-        .select(col("row_id"), col("__z.tok").as("tok"),
-          col("__z.off").as("off"))
+        .select(col("row_id"), posexplode(rawToks).as(Seq("pos", "tok")))
+        .withColumn("off",
+          coalesce(sum(length(col("tok")) + 1).over(offW), lit(0)).cast("int"))
       val engA = toks.select(col("row_id"), lit("corrected").as("engine"),
         correctToken(col("tok")).as("text"), lit(0.9).as("conf"),
         col("off").as("start"), (col("off") + length(col("tok"))).as("end"))
