@@ -206,16 +206,20 @@ object Extract {
     */
   private def pdfRes(plain: Column, wspan: Column,
       runs: Column, sorted: Column, conf: Column): Column = {
-    val text = aggregate(sorted,
-      struct(lit("").as("s"), lit(-1).as("ln")),
-      (acc, r) => struct(
-        when(acc.getField("ln") === -1, r.getField("text"))
-          .when(r.getField("line") === acc.getField("ln"),
-            concat(acc.getField("s"), lit(" "), r.getField("text")))
-          .otherwise(concat(acc.getField("s"), lit("\n"), r.getField("text")))
-          .as("s"),
-        r.getField("line").as("ln")),
-      acc => acc.getField("s"))
+    // line assembly: per-run separator chosen by comparing with the
+    // PREVIOUS run (element_at is 1-based, the lambda index 0-based, so
+    // element_at(sorted, i) IS the predecessor), then one array_join —
+    // linear in payload size. The previous string-accumulating fold
+    // copied the whole prefix per run: O(chars × runs) per row, ~10⁹
+    // char copies on a MaxRuns hostile payload.
+    val text = array_join(
+      transform(sorted, (r, i) =>
+        when(i === 0, r.getField("text"))
+          .when(r.getField("line") ===
+              element_at(sorted, i).getField("line"),
+            concat(lit(" "), r.getField("text")))
+          .otherwise(concat(lit("\n"), r.getField("text")))),
+      "")
 
     val spans = transform(sorted, r =>
       spanOf(r.getField("start"), r.getField("end")))
