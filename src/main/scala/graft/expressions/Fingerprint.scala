@@ -1,0 +1,53 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling polynomial fingerprint `fold(acc·31 + char) mod 1e9+7` as ONE
+  * native expression — the [[Simhash]]/[[MinhashSig]] escalation path:
+  * the declarative form ([[graft.textanalysis.TextAnalysis
+  * .fingerprintDeclarative]], kept as the cross-checked spec) materializes
+  * a one-character UTF8String PER CHARACTER via `split(text, "")` before
+  * folding — the dominant allocation in the t01 analysis pass.
+  *
+  * Semantics are IDENTICAL to `aggregate(split(text, ""), 0L,
+  * (acc, c) => (acc*31 + ascii(c)) % 1000000007)`: Java code-unit
+  * iteration (split("") yields code units; ascii of a one-char string is
+  * that unit's value, 0 for the empty string), so the char loop matches
+  * for every input including empty and astral text. The DuckDB twin in
+  * `TextAnalysis.oracle` is unchanged.
+  */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint64"
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    Fingerprint.evalUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Fingerprint.evalUtf8($c)")
+}
+
+object Fingerprint {
+
+  private val P = 1000000007L
+
+  /** static eval shared by interpreted and generated code paths */
+  def evalUtf8(input: UTF8String): Long = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i).toInt) % P
+      i += 1
+    }
+    acc
+  }
+}

@@ -60,4 +60,16 @@ class TextAnalysisSpec extends SparkSpecBase {
     val c = analyzeOne("some document texT").getAs[Long]("fingerprint")
     assert(a === b); assert(a !== c)
   }
+
+  test("native Fingerprint equals the declarative split-fold pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("", "a", "abc xyz", "  spaced\tout ", "numbers 123",
+      "unicode: café 中文").toDF("text")
+    val native = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    val decl = df.select(TextAnalysis.fingerprintDeclarative(col("text")).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native === decl)
+  }
 }
