@@ -134,7 +134,11 @@ object Dedup {
     * cached/checkpointed shingle table stores 8 bytes per window instead
     * of the window text.
     */
-  def shingleHashes(text: Column, w: Int = 3): Column = {
+  def shingleHashes(text: Column, w: Int = 3): Column =
+    column(graft.expressions.ShingleHashes(expr(text), w))
+
+  /** declarative spec form of [[shingleHashes]] (cross-checked in tests) */
+  def shingleHashesDeclarative(text: Column, w: Int = 3): Column = {
     val toks = split(trim(text), "\\s+")
     val hs = transform(toks, t => xxhash64(t))
     val n = size(hs)

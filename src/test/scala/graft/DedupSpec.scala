@@ -116,6 +116,17 @@ class DedupSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("native ShingleHashes equals the declarative slice-hash pipeline") {
+    val df = Seq(base, base + " phi chi", "a b", "", "single",
+      "  spaced   out\ttokens ", "\ttab lead", "trail ws \n")
+      .toDF("text")
+    val native = df.select(Dedup.shingleHashes(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val decl = df.select(Dedup.shingleHashesDeclarative(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native === decl)
+  }
+
   test("native MinhashSig equals the declarative signature pipeline") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
     val df = Seq(base, base + " phi chi", "a b", "", "single",
