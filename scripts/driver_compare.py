@@ -36,7 +36,9 @@ def main(outdir, sfdir):
     failures = 0
     for name in sorted(glob.glob(f'{outdir}/*.parquet')):
         qname = name.split('/')[-1].removesuffix('.parquet')
-        b = pq.read_table(glob.glob(f'{name}/*.parquet')[0]).to_pandas()
+        # read the whole directory: a multi-part output read via its
+        # first part file alone would silently compare partial data
+        b = pq.read_table(name).to_pandas()
         if qname not in sqls:
             status = f'rows-only ({len(b)} rows)' if len(b) > 0 else 'EMPTY'
             failures += len(b) == 0

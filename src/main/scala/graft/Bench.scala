@@ -352,15 +352,19 @@ object Bench {
     // measures the host, not the engine.
     val four = math.max(cpus / 4, 4)
     val n = math.max(four / 4, 1)
-    // last observed wall cost per config (startup+controls+extract), for
-    // budget gating; seeded from round-3 healthy-window measurements
-    // with degraded-phase headroom
-    val est = scala.collection.mutable.Map[Int, Double](
-      n -> 220.0, four -> 100.0, 1 -> 180.0)
+    // last observed wall cost per (config, input) for budget gating,
+    // seeded from round-3 healthy-window measurements with degraded-
+    // phase headroom. Keyed by input dir too: the quarter-size anchor
+    // tail was previously gated by full-size costs and skipped even
+    // when affordable.
+    val est = scala.collection.mutable.Map[(Int, String), Double](
+      (n, big) -> 220.0, (four, big) -> 100.0,
+      (1, anchor) -> 150.0, (n, anchor) -> 70.0)
     def tryChild(c: Int, dir: String, turns: Long, round: Int): Option[Double] = {
       val remaining = budget - elapsed
-      if (remaining < est(c) * 0.9) {
-        System.err.println(f"[bench] skipping local[$c] (est ${est(c)}%.0f s > remaining $remaining%.0f s)")
+      val e0 = est.getOrElse((c, dir), 150.0)
+      if (remaining < e0 * 0.9) {
+        System.err.println(f"[bench] skipping local[$c] on $dir (est $e0%.0f s > remaining $remaining%.0f s)")
         return None
       }
       val t0 = elapsed
@@ -371,7 +375,7 @@ object Bench {
         emitCurrent(big, anchor)
         e
       }
-      est(c) = math.max(elapsed - t0, 30.0) * 1.1
+      est((c, dir)) = math.max(elapsed - t0, 30.0) * 1.1
       r
     }
     if (inputReady) {

@@ -81,11 +81,24 @@ object SparkEntry {
     "x03_bucketed_job_manifest" -> ((s, _) => {
       // scratch output on tmpfs when available: the sandbox's single
       // shared /tmp DISK serves other tenants' I/O storms; a cluster
-      // would write to distributed storage, not one local spindle
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val out = (if (java.nio.file.Files.isWritable(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graft-x03-")
-        else java.nio.file.Files.createTempDirectory("graft-x03-")).toString
+      // would write to distributed storage, not one local spindle.
+      // Stale dirs from PREVIOUS invocations are deleted first — the
+      // frame returned below reads the new dir lazily, so this run's
+      // dir must outlive the call (cleaned by the next invocation),
+      // but RAM-backed tmpfs must not accumulate across a session.
+      val base = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+      Option(base.toFile.listFiles())
+        .foreach(_.filter(_.getName.startsWith("graft-x03-")).foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(d)
+        })
+      val out = java.nio.file.Files.createTempDirectory(base, "graft-x03-").toString
       graft.plans.ExtractionJob.run(s, TranscriptGen.inputDf(s, 5000L),
           graft.plans.ExtractionJob.Config(out, numBuckets = 16))
         .select("bucket", "turns_processed", "blocks_dropped",
@@ -473,8 +486,9 @@ object SparkEntry {
       "x05_field_extract" ->
         graft.operators.FieldExtract.oracle(graft.gen.BillGen.billSql),
 
-      "x08_plain_normalize" ->
-        """WITH m AS (
+      "x08_plain_normalize" -> {
+        import graft.functions.TextFunctions._
+        s"""WITH m AS (
              SELECT doc_id, CASE
                WHEN doc_id % 7 = 0 THEN '<p>' || text || '</p>'
                WHEN doc_id % 7 = 1 THEN '%PDF-SIM' || chr(10) || text
@@ -483,20 +497,12 @@ object SparkEntry {
                ELSE text END AS t
              FROM documents)
            SELECT doc_id,
-             CASE WHEN t IS NULL OR regexp_matches(t, '\A[\s\x00-\x1F]*\z') THEN 'blank'
-                  WHEN regexp_matches(t, '(?s)\A\s*(<[^>]{0,200}>\s*)?%PDF-') THEN 'pdf'
-                  WHEN regexp_matches(t, '(?is)\A\s*<(!doctype|!--|[a-z][a-z0-9]*[\s>/])') THEN 'html'
-                  ELSE 'plain' END AS sniffed,
-             CASE WHEN t IS NULL OR regexp_matches(t, '\A[\s\x00-\x1F]*\z') THEN ''
-                  ELSE array_to_string(list_transform(
-                    string_split_regex(regexp_replace(regexp_replace(t, '\A\s+', ''), '\s+\z', ''), '\s+'),
-                    w -> CASE WHEN regexp_matches(w, '\A[0-9lIoOzZsSgGbB|]+\z')
-                                AND regexp_matches(w, '[0-9]')
-                         THEN translate(w, 'lI|OoZzSsGgBb', '1110022556988')
-                         ELSE w END), ' ') END AS norm_text,
-             CAST(length(t) - length(regexp_replace(t, '\A\s+', '')) AS INT) AS span_start,
-             CAST(length(regexp_replace(t, '\s+\z', '')) AS INT) AS span_end
-           FROM m ORDER BY doc_id""",
+             ${sniffNoToolSql("t")} AS sniffed,
+             ${plainNormalizeSql("t")} AS norm_text,
+             ${contentStartSql("t")} AS span_start,
+             ${contentEndSql("t")} AS span_end
+           FROM m ORDER BY doc_id"""
+      },
 
       "x09_fused_conf" ->
         graft.operators.FieldExtract.fusedOracle(graft.gen.BillGen.billSql),

@@ -174,25 +174,33 @@ object Dedup {
     * Scale discipline (round-3 form — the round-2 eager-count version
     * spent more wall clock on its five sequential materializations than
     * on the work, verdict r2):
-    *  - LAZY end-to-end: the returned frame embodies ONE materialization;
-    *    the only persists are the hashed-shingle frame (read by the
-    *    signature pipeline and both verify sides) and the tiny candidate
-    *    set — a cluster job would checkpoint those two to tables;
+    *  - LAZY end-to-end, ZERO persists: the returned frame embodies one
+    *    materialization and leaves no session cache behind (the earlier
+    *    persist-and-never-release form leaked a corpus-sized cache per
+    *    call). The hashed-shingle pass is recomputed per verify side —
+    *    cheap by construction (native [[graft.expressions.ShingleHashes]]
+    *    runs at ~25× the old declarative rate); the BROADCAST candidate
+    *    join means the shingle frame itself never shuffles. A
+    *    cluster-scale job with a non-broadcastable candidate set would
+    *    checkpoint candidates to a table instead;
     *  - candidates come from groupBy(band)+collect_list+pair-explode, not
     *    a self-join: the shuffle moves (band_hash, doc_id) rows once and
     *    no cold-cache build/probe race can recompute the signature chain;
-    *  - `maxBucket > 0` drops degenerate hot band buckets (near-identical
-    *    boilerplate corpora otherwise go quadratic inside one bucket, and
-    *    it also bounds the collect_list buffer) — the standard LSH-dedup
-    *    guard; 0 keeps every bucket.
+    *  - `maxBucket` (default 4096) drops degenerate hot band buckets:
+    *    near-identical boilerplate corpora otherwise go quadratic inside
+    *    one bucket, and the pair-explode materializes a bucket's
+    *    B(B−1)/2 pairs as ONE row's array before exploding — the cap
+    *    bounds that buffer (4096² /2 ≈ 8.4 M structs worst case). The
+    *    reference applies the same guard shape (max_candidates). The cap
+    *    trades recall INSIDE pathological duplicate clusters; 0 keeps
+    *    every bucket (exhaustive mode for bounded corpora).
     */
   def minhashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleWidth: Int = 3, threshold: Double = 0.7,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val hsh = docs.select(col("doc_id"), shingleHashes(col("text"), shingleWidth).as("sh"))
-      .persist(disk)
+    val hsh = docs.select(col("doc_id"),
+      shingleHashes(col("text"), shingleWidth).as("sh"))
     // native single-pass signature (declarative minhashSignature is the
     // cross-checked spec — its numHashes-way codegen alone cost ~14 s of
     // first-run Janino/JIT per session, driver-visible in the battery)
@@ -207,11 +215,7 @@ object Dedup {
       .select(explode(orderedIdPairs(col("ids"))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .persist(disk)
-    val ids = cand.select(col("a_id").as("doc_id"))
-      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
-    jaccardVerifyStaged(cand, hsh.join(ids, Seq("doc_id"), "left_semi"),
-      threshold)
+    jaccardVerifyStaged(broadcast(cand), hsh, threshold)
   }
 
   // ------------------------------------------------------------- simhash
@@ -254,14 +258,15 @@ object Dedup {
     * Candidates are bucket-grouped like [[minhashDedup]] (one shuffle of
     * (chunk, id, sig) rows, pair-explode within each chunk bucket) — the
     * round-2 self-join recomputed the signature scan on both sides.
-    * `maxBucket > 0` caps a degenerate chunk bucket (e.g. the simhash of
-    * near-empty text at boilerplate scale) — same guard, same tradeoff:
-    * dropped hot buckets trade recall inside pathological clusters for a
-    * bounded per-group buffer; 0 keeps every bucket.
+    * `maxBucket` (default 4096, same rationale as [[minhashDedup]]) caps
+    * a degenerate chunk bucket (e.g. the simhash of near-empty text at
+    * boilerplate scale): it bounds both the collect_list buffer and the
+    * single-row pair array the explode materializes, trading recall
+    * inside pathological duplicate clusters; 0 keeps every bucket.
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3,
       s"4-chunk banding guarantees recall only for hamming <= 3 (got $maxHamming)")
     val sigs = docs

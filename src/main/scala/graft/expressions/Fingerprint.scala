@@ -13,11 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * folding — the dominant allocation in the t01 analysis pass.
   *
   * Semantics are IDENTICAL to `aggregate(split(text, ""), 0L,
-  * (acc, c) => (acc*31 + ascii(c)) % 1000000007)`: Java code-unit
-  * iteration (split("") yields code units; ascii of a one-char string is
-  * that unit's value, 0 for the empty string), so the char loop matches
-  * for every input including empty and astral text. The DuckDB twin in
-  * `TextAnalysis.oracle` is unchanged.
+  * (acc, c) => (acc*31 + ascii(c)) % 1000000007)`: CODE-POINT iteration —
+  * Java regex split("") breaks between code points, so an astral pair
+  * stays one element and Spark's ascii (codePointAt) folds its code
+  * point; a LONE surrogate is its own element, which
+  * UTF8String.fromString turns into '?' → folds as 63. ascii("") = 0
+  * keeps the empty string at 0. Spec-equivalence test covers empty,
+  * BMP, astral-pair and lone-surrogate inputs. The DuckDB twin in
+  * `TextAnalysis.oracle` is unchanged (codepoint semantics there too).
   */
 case class Fingerprint(child: Expression) extends UnaryExpression {
 
@@ -45,7 +48,15 @@ object Fingerprint {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i).toInt) % P
+      val c = s.charAt(i)
+      val v =
+        if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+          i += 1
+          Character.toCodePoint(c, s.charAt(i))
+        } else if (Character.isSurrogate(c)) 63
+        else c.toInt
+      acc = (acc * 31 + v) % P
       i += 1
     }
     acc

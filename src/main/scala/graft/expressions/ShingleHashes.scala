@@ -43,6 +43,9 @@ object ShingleHashes {
 
   private val Seed = 42L // Spark's xxhash64 default seed
 
+  /** hoisted: String.split("\\s+") recompiles the pattern per call */
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   private def hashStr(s: String): Long = {
     val u = UTF8String.fromString(s)
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, Seed)
@@ -57,7 +60,7 @@ object ShingleHashes {
     var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val toks = s.substring(lo, hi).split("\\s+", -1)
+    val toks = WS.split(s.substring(lo, hi), -1)
 
     if (toks.length < w) {
       return new GenericArrayData(Array(hashStr(toks.mkString(" "))))

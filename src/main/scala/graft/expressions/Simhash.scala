@@ -43,6 +43,9 @@ object Simhash {
 
   private val Seed = 42L // Spark's xxhash64 default seed
 
+  /** hoisted: String.split("\\s+") recompiles the pattern per call */
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** static eval shared by interpreted and generated code paths */
   def evalUtf8(input: UTF8String): Long = {
     val s = input.toString
@@ -54,7 +57,7 @@ object Simhash {
     val trimmed = s.substring(lo, hi)
 
     val votes = new Array[Int](64)
-    val toks = trimmed.split("\\s+", -1)
+    val toks = WS.split(trimmed, -1)
     var t = 0
     while (t < toks.length) {
       val u = UTF8String.fromString(toks(t))

@@ -10,13 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  // Shared pattern/constant tables — the Spark expressions AND the DuckDB
+  // SQL twins below are generated from these, so they cannot drift.
+  // Everything stays in the Java-regex ∩ RE2 subset.
+  val BlankRe = "\\A[\\s\\x00-\\x1F]*\\z"
+  val PdfSniffRe = "(?s)\\A\\s*(?:<[^>]{0,200}>\\s*)?%PDF-"
+  val HtmlSniffRe = "(?is)\\A\\s*<(!doctype|!--|[a-z][a-z0-9]*[\\s>/])"
+  val NumTokenRe = "\\A[0-9lIoOzZsSgGbB|]+\\z"
+  val ConfusablesFrom = "lI|OoZzSsGgBb"
+  val ConfusablesTo = "1110022556988"
+
   /** A string that is empty / whitespace / control chars only — the graft
     * analog of the reference's blank-image early check
     * (`_is_blank_image`, reference `pipeline.py:425-456`).
     * NOTE: Spark's `trim` strips only spaces, hence the regex.
     */
   def isBlank(text: Column): Column =
-    text.isNull || text.rlike("\\A[\\s\\x00-\\x1F]*\\z")
+    text.isNull || text.rlike(BlankRe)
 
   /** Content format sniffing — the analog of the reference's magic-byte
     * `_validate_file_format` (reference `pipeline.py:2615-2685`), as a pure
@@ -29,8 +39,8 @@ object TextFunctions {
       // %PDF- magic, optionally behind ONE wrapping tag (content beats
       // container framing — the sniff-right-content-wrong cascade case;
       // magic-byte validation analog `pipeline.py:2615-2685`)
-      .when(text.rlike("(?s)\\A\\s*(?:<[^>]{0,200}>\\s*)?%PDF-"), "pdf")
-      .when(text.rlike("(?is)\\A\\s*<(!doctype|!--|[a-z][a-z0-9]*[\\s>/])"), "html")
+      .when(text.rlike(PdfSniffRe), "pdf")
+      .when(text.rlike(HtmlSniffRe), "html")
       .when(tool.isNotNull && text.rlike("\\A\\s*\\{"), "tooljson")
       .otherwise("plain")
 
@@ -60,8 +70,8 @@ object TextFunctions {
     * translate map: l,I,|→1  O,o→0  Z,z→2  S,s→5  G→6  g→9  B,b→8.
     */
   def correctToken(w: Column): Column =
-    when(w.rlike("\\A[0-9lIoOzZsSgGbB|]+\\z") && w.rlike("[0-9]"),
-      translate(w, "lI|OoZzSsGgBb", "1110022556988"))
+    when(w.rlike(NumTokenRe) && w.rlike("[0-9]"),
+      translate(w, ConfusablesFrom, ConfusablesTo))
       .otherwise(w)
 
   /** Plain-text path: whitespace collapse + numeric-context char correction.
@@ -122,4 +132,46 @@ object TextFunctions {
           (acc, t) => acc + log(greatest(t.getField("conf"), lit(0.01)))) / n),
         lit(0.99)))
   }
+
+  // ===================================================== DuckDB SQL twins
+  // Generated from the SAME constants as the Spark expressions above
+  // (one source of truth per regex/translate table — the oracle cannot
+  // drift). DuckDB notes: regexp_replace needs the explicit 'g' flag;
+  // RE2 has no pattern backrefs.
+
+  /** twin of [[isBlank]]; `x` is a SQL expression string */
+  def isBlankSql(x: String): String =
+    s"($x IS NULL OR regexp_matches($x, '$BlankRe'))"
+
+  /** twin of [[sniff]] with a NULL tool column (tooljson never fires) */
+  def sniffNoToolSql(x: String): String =
+    s"""CASE WHEN ${isBlankSql(x)} THEN 'blank'
+        WHEN regexp_matches($x, '$PdfSniffRe') THEN 'pdf'
+        WHEN regexp_matches($x, '$HtmlSniffRe') THEN 'html'
+        ELSE 'plain' END"""
+
+  /** whitespace-collapse of the trimmed text (the light-normalization
+    * stage; '' for blank) */
+  def wsCollapseSql(x: String): String =
+    s"""CASE WHEN ${isBlankSql(x)} THEN ''
+        ELSE regexp_replace(regexp_replace(regexp_replace($x,
+          '\\A\\s+', ''), '\\s+\\z', ''), '\\s+', ' ', 'g') END"""
+
+  /** twin of [[plainNormalize]] */
+  def plainNormalizeSql(x: String): String =
+    s"""CASE WHEN ${isBlankSql(x)} THEN ''
+        ELSE array_to_string(list_transform(
+          string_split_regex(regexp_replace(regexp_replace($x,
+            '\\A\\s+', ''), '\\s+\\z', ''), '\\s+'),
+          w -> CASE WHEN regexp_matches(w, '$NumTokenRe')
+                      AND regexp_matches(w, '[0-9]')
+               THEN translate(w, '$ConfusablesFrom', '$ConfusablesTo')
+               ELSE w END), ' ') END"""
+
+  /** twins of [[contentStart]] / [[contentEnd]] */
+  def contentStartSql(x: String): String =
+    s"CAST(length($x) - length(regexp_replace($x, '\\A\\s+', '')) AS INT)"
+
+  def contentEndSql(x: String): String =
+    s"CAST(length(regexp_replace($x, '\\s+\\z', '')) AS INT)"
 }

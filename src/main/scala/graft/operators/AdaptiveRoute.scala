@@ -104,13 +104,9 @@ object AdaptiveRoute {
     * 'g' flags in DuckDB).
     */
   def oracle: String = {
-    val collapsed = "regexp_replace(regexp_replace(regexp_replace(d.text," +
-      " '\\A\\s+', ''), '\\s+\\z', ''), '\\s+', ' ', 'g')"
-    val norm = "CASE WHEN d.text IS NULL OR regexp_matches(d.text, '\\A[\\s\\x00-\\x1F]*\\z') THEN ''" +
-      s" ELSE array_to_string(list_transform(string_split_regex($collapsed, ' ')," +
-      " w -> CASE WHEN regexp_matches(w, '\\A[0-9lIoOzZsSgGbB|]+\\z')" +
-      " AND regexp_matches(w, '[0-9]')" +
-      " THEN translate(w, 'lI|OoZzSsGgBb', '1110022556988') ELSE w END), ' ') END"
+    import graft.functions.TextFunctions.{plainNormalizeSql, wsCollapseSql}
+    val collapsed = wsCollapseSql("d.text")
+    val norm = plainNormalizeSql("d.text")
     s"""WITH ta AS (${TextAnalysis.oracle})
       SELECT d.doc_id AS doc_id, ta.tier,
         CASE WHEN ta.tier IN ('high', 'medium') THEN 'chain-simple' ELSE 'kie' END AS engine,

@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   * Java-regex ∩ RE2 subset (no lookahead/lookbehind, single-digit
   * backrefs), so the identical pattern string runs in Spark (Java) and
   * DuckDB (RE2). Two deliberate re-expressions: the `(?!\s*CO2)` tail of
-  * the last simple-carbon pattern is EMULATED by pre-blanking
-  * ([[carbonFirstInt]] — first-match-equivalent, including when an
-  * earlier pattern matched but failed its range guard), and
+  * the last simple-carbon pattern is EMULATED by sentinel pre-blanking
+  * ([[carbonFirstInt]] — first-match order preserved; one documented
+  * residual corner involving the digit inside `CO2` itself), and
   * CARBON_ALT_RE's `(?=\s|$|kg)` becomes a consuming `(?:\s|kg|$)`.
   */
 object FieldExtract {
@@ -107,14 +107,21 @@ object FieldExtract {
   /** Carbon chain with the reference's `(?!\s*CO2)` lookahead emulated in
     * the RE2∩Java subset (ADVICE r2: in '5 kg CO2 ... 200 kg flour' the
     * reference's last pattern skips the CO2-adjacent 5 and extracts 200):
-    * the bare `(\d{1,4})\s*kg` pattern runs against a copy with
-    * `N kg CO2` occurrences blanked, so the first match of the blanked
-    * text is exactly the first not-followed-by-CO2 match of the original.
+    * the bare `(\d{1,4})\s*kg` pattern runs against a copy with each
+    * `N kg CO2` occurrence replaced by the NON-digit, NON-whitespace
+    * sentinel 'x' — a bare space would let `\s*` bridge digits across the
+    * removed region ('100\n5 kg CO2 kg' must NOT match 100) and the
+    * sentinel blocks that. Residual divergence, documented: the
+    * reference's scan can take the digit INSIDE `CO2` as its first bare-kg
+    * candidate ('... CO2 kg'), whose value 2 always fails the [10,20000]
+    * guard and poisons the whole (last) pattern — here that occurrence is
+    * blanked, so a later in-range `M kg` can still match where the
+    * reference returns null. First-match order is otherwise preserved.
     */
   def carbonFirstInt(t: Column): Column =
     coalesce(
       firstInt(t, carbPatterns.init, 10, 20000),
-      firstInt(regexp_replace(t, ci(KgCo2Blank), " "),
+      firstInt(regexp_replace(t, ci(KgCo2Blank), "x"),
         Seq(carbPatterns.last), 10, 20000))
 
   /** advanced OCR-tolerant chains (reference `pipeline.py:2071-2090`,
@@ -571,7 +578,7 @@ object FieldExtract {
     */
   private def carbonFirstIntSql(x: String) =
     s"COALESCE(${firstIntSql(x, carbPatterns.init, 10, 20000)}, " +
-      firstIntSql(s"regexp_replace($x, ${sqCi(KgCo2Blank)}, ' ', 'g')",
+      firstIntSql(s"regexp_replace($x, ${sqCi(KgCo2Blank)}, 'x', 'g')",
         Seq(carbPatterns.last), 10, 20000) + ")"
 
   private def firstStrSql(x: String, pats: Seq[String], i: Int = 1) =

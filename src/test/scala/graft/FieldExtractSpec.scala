@@ -56,6 +56,15 @@ class FieldExtractSpec extends SparkSpecBase {
     val Seq(r) = extract(
       "shipment note says 5 kg CO2 canister plus 200 kg flour delivered")
     assert(r.getAs[Any]("carbon_kgco2e") === 200)
+    // the sentinel must not let \s* bridge digits across the blanked
+    // region: in '100\n5 kg CO2 kg' the bare-kg CHAIN must not read 100
+    // (the reference's lookahead pattern also has no match there; the
+    // full withFields pipeline may still recover 100 via the KIE layer,
+    // which the reference's KIE scan would equally do)
+    import org.apache.spark.sql.functions.col
+    val chain = Seq("weight note 100\n5 kg CO2 kg end").toDF("t")
+      .select(FieldExtract.carbonFirstInt(col("t")).as("c")).head()
+    assert(chain.isNullAt(0))
   }
 
   test("context validation windows clip at newlines (phase-3 override)") {

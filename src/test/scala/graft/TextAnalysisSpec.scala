@@ -65,7 +65,8 @@ class TextAnalysisSpec extends SparkSpecBase {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val df = Seq("", "a", "abc xyz", "  spaced\tout ", "numbers 123",
-      "unicode: café 中文").toDF("text")
+      "unicode: café 中文", "astral 😀 pair", "lone \ud83d surrogate")
+      .toDF("text")
     val native = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
       .collect().map(_.getLong(0)).toSeq
     val decl = df.select(TextAnalysis.fingerprintDeclarative(col("text")).as("f"))
