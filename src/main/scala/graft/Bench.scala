@@ -283,21 +283,27 @@ object Bench {
       // Scaling efficiency comes from a SAME-ROUND pair — same job, same
       // input, same host phase (the r3 trials showed cross-round minima
       // silently mix phases: a narrow run from a degraded window against
-      // a wide run from a healthy one read 1.4, meaningless). Among
-      // complete rounds, take the one with the cleanest brackets
-      // (pre-registered interference criterion, not outcome-based);
-      // minima-based only as fallback when no round completed both.
-      val roundPairs = samples.groupBy(_._7).toSeq.sortBy(_._1).flatMap {
-        case (r, ss) =>
-          for {
-            wn <- ss.find(s => s._1 == n && s._2 == big)
-            w4 <- ss.find(s => s._1 == four && s._2 == big)
-          } yield {
-            val penalty = math.max(wn._6 / math.max(wn._5, 1e-9),
-              w4._6 / math.max(w4._5, 1e-9))
-            (penalty, (wn._4 / w4._4) / 4.0, r)
+      // a wide run from a healthy one read 1.4, meaningless). Each round
+      // runs wide / narrow / wide, and the narrow pairs with its
+      // NEAREST-IN-TIME wide (temporal adjacency maximizes the chance
+      // both sampled the same phase; the two wides' disagreement exposes
+      // a mid-round flip). Among complete rounds, take the one with the
+      // cleanest brackets (pre-registered interference criterion, not
+      // outcome-based); minima-based only as fallback.
+      val roundPairs = samples.zipWithIndex.groupBy(_._1._7).toSeq
+        .sortBy(_._1).flatMap { case (r, ssIdx) =>
+          val narrowOpt = ssIdx.find(s => s._1._1 == n && s._1._2 == big)
+          val wides = ssIdx.filter(s => s._1._1 == four && s._1._2 == big)
+          narrowOpt.flatMap { case (wn, wi) =>
+            val nearest = wides.filter(_._2 > wi).sortBy(_._2).headOption
+              .orElse(wides.filter(_._2 < wi).sortBy(-_._2).headOption)
+            nearest.map { case (w4, _) =>
+              val penalty = math.max(wn._6 / math.max(wn._5, 1e-9),
+                w4._6 / math.max(w4._5, 1e-9))
+              (penalty, (wn._4 / w4._4) / 4.0, r)
+            }
           }
-      }
+        }
       val effRaw =
         if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
         else derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
@@ -396,7 +402,12 @@ object Bench {
           case _ => true
         }
         if (!ranNarrow || phaseOk) {
-          ranNarrow |= tryChild(n, big, turns4N, r).isDefined
+          val nRes = tryChild(n, big, turns4N, r)
+          ranNarrow |= nRes.isDefined
+          // closing wide bracket: the narrow pairs with its nearest-in-
+          // time wide, so a wide run right AFTER it shares its phase far
+          // more often than the one that ran ~3 minutes before
+          if (nRes.isDefined) tryChild(four, big, turns4N, r)
         } else {
           System.err.println(
             f"[bench] round $r: degraded phase (wide extract ${t4n.getOrElse(-1.0)}%.1f s), narrow run deferred")
