@@ -117,7 +117,10 @@ object Bench {
     try {
       // phase timings to stderr: child overhead must stay visible (the
       // r3 trial's local[4] child spent ~200 s beyond its extract)
-      val w = time(force(Extract(s.read.parquet(inDir).limit(20000)))) // JIT/codegen warm-up
+      // JIT/codegen warm-up — 6k rows compile every plan and give the JIT
+      // thousands of iterations; 20k rows cost 60-90 s of budget in
+      // degraded host phases for no additional steady-state benefit
+      val w = time(force(Extract(s.read.parquet(inDir).limit(6000))))
       def ctl(): Double = time(
         s.range(ctlWork(cores))
           .select(max(xxhash64(col("id"), col("id") + 1, col("id") + 2)))

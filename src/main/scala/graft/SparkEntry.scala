@@ -29,6 +29,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Extract(TranscriptGen.inputDf(spark, 2000L))
 
+  /** The driver's documents/embeddings tables arrive as SINGLE parquet
+    * files (one scan partition), so a per-row-heavy operator would run
+    * on one core of 32. Spread such inputs across the session's cores —
+    * the shuffle moves a few MB once; at real scale inputs are many-file
+    * tables and scans parallelize on their own. Applied only to
+    * operators whose outputs are per-row deterministic (regex chains,
+    * routing, per-pair cosines) — float AGGREGATES keep their original
+    * partitioning so sum order stays reproducible against the oracle.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** documents table + deterministic near-duplicate rows (id+100000,
     * 3 tokens appended) — gives the near-dup detectors real positives.
     */
@@ -124,8 +136,8 @@ object SparkEntry {
     // from the documents table; DuckDB oracle generated from the SAME
     // pattern tables (FieldExtract.oracle)
     "x05_field_extract" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text"))
       graft.operators.FieldExtract.withFields(
           graft.gen.BillGen.withBill(docs))
         .select("doc_id", "electricity_kwh", "carbon_kgco2e", "elec_conf",
@@ -230,8 +242,8 @@ object SparkEntry {
     // X19 calibrated confidence fusion over the x05 fields (oracle =
     // the same arithmetic layered over the x05 oracle)
     "x09_fused_conf" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text"))
       graft.operators.FieldExtract.withFusedConfidence(
           graft.operators.FieldExtract.withFields(
             graft.gen.BillGen.withBill(docs)))
@@ -243,8 +255,8 @@ object SparkEntry {
     // nested utility-bill payload projection (F6 nested form; rows-only —
     // JSON text layout is engine-specific; PayloadSpec pins the schema)
     "x10_bill_payload" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text"))
       val fused = graft.operators.FieldExtract.withFusedConfidence(
         graft.operators.FieldExtract.withFields(
           graft.gen.BillGen.withBill(docs)))
@@ -258,14 +270,14 @@ object SparkEntry {
     // engine + preprocessing chain, annotated per row, DuckDB-verified
     "x11_adaptive_route" -> ((s, dir) =>
       graft.operators.AdaptiveRoute.route(
-          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+          spread(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")))
         .select("doc_id", "tier", "engine", "preprocessing", "reason",
           "routed_text")
         .orderBy("doc_id")),
 
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
-      TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
+      TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
         .orderBy("doc_id")),
 
     "t02_exact_dedup" -> ((s, dir) =>
@@ -295,18 +307,18 @@ object SparkEntry {
     }),
 
     "t06_cosine_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"),
+      Dedup.embeddingNearDup(spread(s.read.parquet(s"$dir/embeddings.parquet")),
           threshold = 0.4)
         .orderBy("a_id", "b_id")),
 
     "t07_ann_topk" -> ((s, dir) => {
-      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val embs = spread(s.read.parquet(s"$dir/embeddings.parquet"))
       Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), k = 5)
         .orderBy("query_id", "rank")
     }),
 
     "t08_ann_lsh" -> ((s, dir) => {
-      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val embs = spread(s.read.parquet(s"$dir/embeddings.parquet"))
       Ann.lshTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
         planes = 4, dim = 64, probes = 2).orderBy("query_id", "rank")
     }),
@@ -315,7 +327,7 @@ object SparkEntry {
     // quantizer, inverted lists by cell, nprobe probing (rows-only —
     // iteration/hash dependent, not SQL-expressible)
     "t10_ann_ivf" -> ((s, dir) => {
-      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+      val embs = spread(s.read.parquet(s"$dir/embeddings.parquet"))
       Ann.ivfTopK(embs, embs.filter(col("vec_id") < 8), k = 5,
         nlist = 16, nprobe = 4).orderBy("query_id", "rank")
     }),
