@@ -118,4 +118,34 @@ object Calibration {
     models.toSeq.sortBy(_._1).foldLeft(conf) { case (acc, (p, m)) =>
       when(path === p, m.col(conf)).otherwise(acc)
     }
+
+  /** Confidence-threshold derivation from a target accuracy — the
+    * reference's `ConfidenceCalibrator` binary search (`pipeline.py:
+    * 196-369`, feeding the τ tables of `config.py:10-12`): the smallest
+    * raw confidence whose CALIBRATED accuracy meets `targetAccuracy`,
+    * found by bisection on the fitted monotone curve. None when even the
+    * top of the curve falls short (no threshold can deliver the target —
+    * the reference then keeps its static default).
+    */
+  def threshold(m: Model, targetAccuracy: Double,
+      tol: Double = 1e-9): Option[Double] = {
+    if (m.ys.last < targetAccuracy) return None
+    if (m.ys.head >= targetAccuracy) return Some(m.xs.head)
+    var lo = m.xs.head // interpolate(lo) < target
+    var hi = m.xs.last // interpolate(hi) >= target
+    while (hi - lo > tol) {
+      val mid = (lo + hi) / 2
+      if (m.interpolate(mid) >= targetAccuracy) hi = mid else lo = mid
+    }
+    Some(hi)
+  }
+
+  /** per-tier thresholds (reference τ ladder: accept 0.95 / enhance 0.90 /
+    * llm 0.85 target accuracies) for one fitted model
+    */
+  def thresholds(m: Model,
+      targets: Map[String, Double] = Map(
+        "accept" -> 0.95, "enhance" -> 0.90, "llm" -> 0.85))
+      : Map[String, Option[Double]] =
+    targets.map { case (k, t) => k -> threshold(m, t) }
 }

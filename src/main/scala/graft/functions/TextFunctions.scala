@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
 
 /** Pure-Catalyst column functions for content sniffing, plain-text
   * normalization, spans and confidence — the "no UDF-opaque regex soup"
@@ -103,6 +104,32 @@ object TextFunctions {
     */
   def geoMeanAgg(conf: Column): Column =
     exp(avg(log(greatest(conf, lit(1e-3)))))
+
+  /** Whitespace tokens with offsets in the single-space-collapsed string,
+    * `array<struct<tok,start,end>>` — native single pass
+    * ([[graft.expressions.TokenSpans]]); the declarative spec twin is
+    * [[tokenSpansDeclarative]] (cross-checked in SpanVoteSpec). Keeps the
+    * ensemble path's token-offset stage NARROW — the posexplode +
+    * per-row-window prefix sum it replaces shuffles every token row.
+    */
+  def tokenSpans(text: Column): Column =
+    column(graft.expressions.TokenSpans(expr(text)))
+
+  /** declarative spec form of [[tokenSpans]]: running-sum offsets via an
+    * indexed transform over the token array (per-row, no shuffle — usable
+    * as a spec; the native form is the hot-path implementation).
+    */
+  def tokenSpansDeclarative(text: Column): Column = {
+    val trimmed =
+      regexp_replace(regexp_replace(text, "\\A\\s+", ""), "\\s+\\z", "")
+    val toks = split(trimmed, "\\s+")
+    val lens = transform(toks, t => length(t))
+    transform(toks, (t, i) => {
+      val off = (aggregate(slice(lens, lit(1), i), lit(0), (a, l) => a + l) +
+        i).cast("int")
+      struct(t.as("tok"), off.as("start"), (off + length(t)).cast("int").as("end"))
+    })
+  }
 
   /** Run-length collapse of repeated characters — the CTC-decode analog
     * (SURVEY G8; reference collapse-repeats-drop-blanks,

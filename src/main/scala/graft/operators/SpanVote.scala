@@ -37,6 +37,16 @@ object SpanVote {
   /** Input: (row_id, engine, text, conf, start, end) token candidates.
     * Output: one elected row per cluster —
     * (row_id, start, end, text, score, votes, cluster_size).
+    *
+    * The normalized token frame is referenced THREE times (both grid
+    * self-join sides + the cluster-assign join), so it is persisted for
+    * the duration of the call and the (small — one elected row per
+    * cluster) result is materialized via localCheckpoint before the
+    * token cache is released: the upstream of `tokens` runs ONCE, not 3×
+    * (round-3 verdict: the unpersisted form recomputed an expensive
+    * exploded-token stage three times). At cluster scale with
+    * non-ephemeral inputs, checkpoint `tokens` to a table instead —
+    * localCheckpoint blocks are executor-local and die with the session.
     */
   def vote(tokens: DataFrame, iouThreshold: Double = 0.5,
       grid: Int = 16): DataFrame = {
@@ -44,6 +54,7 @@ object SpanVote {
     val t = tokens.select(col("row_id"), col("engine"), col("text"),
       col("conf").cast("double").as("conf"),
       col("start").cast("int").as("start"), col("end").cast("int").as("end"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // every grid cell a span touches (equi-join key; IoU is residual)
     def cells(df: DataFrame): DataFrame =
@@ -81,7 +92,7 @@ object SpanVote {
     val wCluster = Window.partitionBy("row_id", "rep")
     val wRank = Window.partitionBy("row_id", "rep")
       .orderBy(col("score").desc, col("text"))
-    variants
+    val elected = variants
       .withColumn("cluster_size", sum(col("votes")).over(wCluster))
       .withColumn("score",
         round(col("conf_sum") / col("cluster_size"), 6))
@@ -91,5 +102,11 @@ object SpanVote {
         col("rep.start").as("start"), col("rep.end").as("end"),
         col("text"), col("score"), col("votes"),
         col("cluster_size").cast("int").as("cluster_size"))
+    // eager: materializes the elected rows while `t` is cached, so the
+    // token cache can be released before returning the (lazy-consumed)
+    // result frame
+    val out = elected.localCheckpoint()
+    t.unpersist(blocking = false)
+    out
   }
 }

@@ -63,6 +63,23 @@ class CalibrationSpec extends SparkSpecBase {
     assert(probes.zip(probes.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
 
+  test("threshold binary search matches hand-computed values") {
+    // interp(c) = c - 0.1 on [0.2, 0.6], then slope 1 again to (1.0, 0.9)
+    val m = Calibration.Model(Array(0.2, 0.6, 1.0), Array(0.1, 0.5, 0.9))
+    // target 0.5 is hit exactly at the 0.6 breakpoint
+    assert(math.abs(Calibration.threshold(m, 0.5).get - 0.6) < 1e-6)
+    // target 0.3: 0.1 + (c-0.2) = 0.3  =>  c = 0.4
+    assert(math.abs(Calibration.threshold(m, 0.3).get - 0.4) < 1e-6)
+    // below the curve's bottom: every confidence qualifies
+    assert(Calibration.threshold(m, 0.05) === Some(0.2))
+    // above the curve's top: unreachable
+    assert(Calibration.threshold(m, 0.95) === None)
+    // τ ladder helper
+    val taus = Calibration.thresholds(m, Map("accept" -> 0.85, "llm" -> 0.3))
+    assert(math.abs(taus("accept").get - 0.95) < 1e-6)
+    assert(math.abs(taus("llm").get - 0.4) < 1e-6)
+  }
+
   test("x06 end-to-end: rows, bounds, and degraded rows carry lower calibration") {
     val df = SparkEntry.queries("x06_calibrated_conf")(spark, "")
     val rows = df.collect()
@@ -77,5 +94,9 @@ class CalibrationSpec extends SparkSpecBase {
     val mOk = ok.map(_.getAs[Double]("calibrated")).sum / ok.length
     val mBad = bad.map(_.getAs[Double]("calibrated")).sum / bad.length
     assert(mOk > mBad, s"calibrated means: correct $mOk vs incorrect $mBad")
+    // meets_accept (τ_accept from the fitted curve at target 0.95):
+    // accepted rows must sit at calibrated accuracy ≥ the target
+    val accepted = rows.filter(_.getAs[Boolean]("meets_accept"))
+    assert(accepted.forall(_.getAs[Double]("calibrated") >= 0.95 - 1e-6))
   }
 }

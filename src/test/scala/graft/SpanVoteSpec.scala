@@ -48,6 +48,29 @@ class SpanVoteSpec extends SparkSpecBase {
     assert(out.head.getAs[String]("text") === "wide token here")
   }
 
+  test("native tokenSpans equals the declarative running-sum spec") {
+    import graft.functions.TextFunctions.{tokenSpans, tokenSpansDeclarative}
+    val cases = Seq(
+      "plain simple words",
+      "  leading and trailing  ",
+      "\t tabs\nnewlines\r\n mixed ws ",
+      "one",
+      " ",
+      "a  b   c",
+      "unicode été café 123",
+      "l23 O5 Z99 numbers 42")
+    val df = cases.toDF("text")
+      .select(tokenSpans($"text").as("nat"),
+        tokenSpansDeclarative($"text").as("dec"))
+    assert(df.filter(to_json($"nat") =!= to_json($"dec")).count() === 0)
+    // spot-check offsets are collapsed-string offsets
+    val one = Seq("  aa   bbb c ").toDF("text")
+      .select(tokenSpans($"text").as("s")).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(one === Seq(("aa", 0, 2), ("bbb", 3, 6), ("c", 7, 8)))
+  }
+
   test("x07 end-to-end: elected tokens equal the golden corrected tokens") {
     val voted = SparkEntry.queries("x07_span_vote")(spark, "")
       .groupBy("row_id")
