@@ -98,23 +98,31 @@ object SparkEntry {
       // frame returned below reads the new dir lazily, so this run's
       // dir must outlive the call (cleaned by the next invocation),
       // but RAM-backed tmpfs must not accumulate across a session.
+      // Cleanup is scoped to THIS process's dirs (PID in the prefix) —
+      // a concurrent battery/verify on the same host must not have its
+      // in-flight output deleted from under it; dirs of dead processes
+      // are reaped by anyone once older than 30 min.
       val base = {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isWritable(shm)) shm
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       }
+      val pidPrefix = s"graft-x03-${ProcessHandle.current().pid()}-"
+      val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
       Option(base.toFile.listFiles())
-        .foreach(_.filter(_.getName.startsWith("graft-x03-")).foreach { d =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(d)
-        })
-      val out = java.nio.file.Files.createTempDirectory(base, "graft-x03-").toString
+        .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
+          (d.getName.startsWith("graft-x03-") && d.lastModified() < staleMs))
+          .foreach { d =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(d)
+          })
+      val out = java.nio.file.Files.createTempDirectory(base, pidPrefix).toString
       graft.plans.ExtractionJob.run(s, TranscriptGen.inputDf(s, 5000L),
           graft.plans.ExtractionJob.Config(out, numBuckets = 16))
         .select("bucket", "turns_processed", "blocks_dropped",
-          "parser_fallbacks", "blank_turns", "status")
+          "parser_fallbacks", "blank_turns", "turns_truncated", "status")
         .orderBy("bucket")
     }),
 

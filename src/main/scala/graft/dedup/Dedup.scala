@@ -156,16 +156,21 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     jaccardVerifyStaged(pairs, shingled(docs, w, textCol, idCol), threshold)
 
-  /** Ordered (a < b) within-bucket pairs from a SORTED id array — the
-    * bucket-grouped replacement for a banded self-join: one shuffle of
-    * (bucket key, id) rows, no join, no build/probe race over a shared
-    * cache. Callers cap bucket size (see `maxBucket`) so the per-group
-    * buffer and the quadratic expansion stay bounded.
+  /** Ordered (a < b) within-bucket pairs from a SORTED array column via
+    * DOUBLE posexplode — stage 1 emits one row per element `a` (still
+    * carrying the array), stage 2 explodes `a`'s strict suffix — so no
+    * single row ever buffers the bucket's full B(B−1)/2 quadratic
+    * expansion (the earlier flatten∘transform form materialized it as
+    * ONE row's array: ~8.4 M structs at the 4096 cap, hundreds of MB of
+    * heap in one generator call). Per-row state is now O(B): the carried
+    * array. Applied to a frame holding the sorted array in `arrCol`;
+    * emits columns (a, b).
     */
-  private def orderedIdPairs(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
-        b => struct(a.as("a_id"), b.as("b_id")))))
+  private def suffixPairs(df: DataFrame, arrCol: String): DataFrame =
+    df.select(col(arrCol), posexplode(col(arrCol)).as(Seq("__i", "a")))
+      .select(col("a"),
+        explode(slice(col(arrCol), col("__i") + 2,
+          greatest(size(col(arrCol)) - col("__i") - 1, lit(0)))).as("b"))
 
   /** End-to-end MinHash+LSH near-dup detection: hashed shingles →
     * signature → bands → bucket-grouped candidate pairs → exact-Jaccard
@@ -188,19 +193,30 @@ object Dedup {
     *    no cold-cache build/probe race can recompute the signature chain;
     *  - `maxBucket` (default 4096) drops degenerate hot band buckets:
     *    near-identical boilerplate corpora otherwise go quadratic inside
-    *    one bucket, and the pair-explode materializes a bucket's
-    *    B(B−1)/2 pairs as ONE row's array before exploding — the cap
-    *    bounds that buffer (4096² /2 ≈ 8.4 M structs worst case). The
-    *    reference applies the same guard shape (max_candidates). The cap
-    *    trades recall INSIDE pathological duplicate clusters; 0 keeps
-    *    every bucket (exhaustive mode for bounded corpora).
+    *    one bucket (the reference applies the same guard shape,
+    *    max_candidates). The cap trades recall INSIDE pathological
+    *    duplicate clusters; 0 keeps every bucket (exhaustive mode for
+    *    bounded corpora). Pair generation is a double posexplode
+    *    ([[suffixPairs]]) so no single row buffers a bucket's quadratic
+    *    expansion regardless of the cap;
+    *  - `broadcastCandidates` (default true) broadcasts the verified
+    *    candidate set into the two shingle joins — right when candidates
+    *    fit an executor (LSH keeps them ≪ corpus). At cluster scale with
+    *    a non-broadcastable candidate set, pass false: the verify runs
+    *    as a plain shuffle join (identical rows, cross-checked in
+    *    DedupSpec), with checkpointing the candidate table the
+    *    recommended companion.
     */
   def minhashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleWidth: Int = 3, threshold: Double = 0.7,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, broadcastCandidates: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val hsh = docs.select(col("doc_id"),
       shingleHashes(col("text"), shingleWidth).as("sh"))
+      // MinhashSig contract: empty shingle arrays must not reach banding
+      // (all-null signatures band identically — a quadratic trap).
+      // Unreachable via shingleHashes (never empty) → zero-cost guard.
+      .filter(size(col("sh")) > 0)
     // native single-pass signature (declarative minhashSignature is the
     // cross-checked spec — its numHashes-way codegen alone cost ~14 s of
     // first-run Janino/JIT per session, driver-visible in the battery)
@@ -211,11 +227,11 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 &&
         (if (maxBucket > 0) size(col("ids")) <= maxBucket else lit(true)))
-    val cand = buckets
-      .select(explode(orderedIdPairs(col("ids"))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val cand = suffixPairs(buckets, "ids")
+      .select(col("a").as("a_id"), col("b").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    jaccardVerifyStaged(broadcast(cand), hsh, threshold)
+    jaccardVerifyStaged(
+      if (broadcastCandidates) broadcast(cand) else cand, hsh, threshold)
   }
 
   // ------------------------------------------------------------- simhash
@@ -260,9 +276,10 @@ object Dedup {
     * round-2 self-join recomputed the signature scan on both sides.
     * `maxBucket` (default 4096, same rationale as [[minhashDedup]]) caps
     * a degenerate chunk bucket (e.g. the simhash of near-empty text at
-    * boilerplate scale): it bounds both the collect_list buffer and the
-    * single-row pair array the explode materializes, trading recall
-    * inside pathological duplicate clusters; 0 keeps every bucket.
+    * boilerplate scale): it bounds the collect_list buffer, trading
+    * recall inside pathological duplicate clusters; 0 keeps every
+    * bucket. Pair generation is the bounded double posexplode
+    * ([[suffixPairs]]).
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
@@ -274,22 +291,16 @@ object Dedup {
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("chunk")))
-    val xs = col("xs")
-    sigs
+    val buckets = sigs
       .select(col("doc_id"), col("sh"), explode(array(chunkCols: _*)).as("c"))
       .groupBy(col("c.chunk_idx"), col("c.chunk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("xs"))
-      .filter(size(xs) > 1 &&
-        (if (maxBucket > 0) size(xs) <= maxBucket else lit(true)))
-      .select(explode(flatten(transform(xs, (a, i) =>
-        transform(slice(xs, i + 2, greatest(size(xs) - i - 1, lit(0))),
-          b => struct(
-            a.getField("doc_id").as("a_id"),
-            b.getField("doc_id").as("b_id"),
-            bit_count(a.getField("sh").bitwiseXOR(b.getField("sh")))
-              .as("hamming")))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
-        col("p.hamming").as("hamming"))
+      .filter(size(col("xs")) > 1 &&
+        (if (maxBucket > 0) size(col("xs")) <= maxBucket else lit(true)))
+    // double posexplode (see [[suffixPairs]]): per-row state stays O(B)
+    suffixPairs(buckets, "xs")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * min over shingles of (a_i·base + b_i) mod P31 with the same
   * golden-ratio-derived (a_i, b_i); an empty input yields all-null
   * elements exactly like `array_min(empty)`.
+  *
+  * CONTRACT for callers: an all-null signature must not reach LSH
+  * banding — Spark's `xxhash64` SKIPS null elements, so every
+  * empty-input doc would get identical band hashes and all such docs
+  * become mutual candidates (a quadratic trap healed only after the pair
+  * explosion). [[graft.dedup.Dedup.minhashDedup]] filters empty shingle
+  * arrays before signing; direct callers must do the same (unreachable
+  * via `shingleHashes`, which never returns an empty array).
   */
 case class MinhashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -294,6 +294,24 @@ object Extract {
     val plain = col("__plain")
     val wspan = col("__wspan")
 
+    // Truncation lineage (reference warnings trail, `pipeline.py:
+    // 2799-2801`): hostile payloads stop at the tokenizers' hard caps —
+    // the flag records that content was DROPPED, so lineage (manifest
+    // `turns_truncated`) sees it instead of a silent cap. PDF is exact:
+    // the parser stops scanning only at MaxRuns accepted runs, so
+    // candidate lines beyond the cap were never examined (a sub-cap
+    // parse examined every candidate; misses there are malformed lines,
+    // not truncation). HTML flags a cap-full parse with non-whitespace
+    // content remaining beyond the last emitted block.
+    val truncated =
+      when(fmt === "pdf",
+        size(col("__pr")) === graft.expressions.PdfGlyphRuns.MaxRuns &&
+          col("__cand") > graft.expressions.PdfGlyphRuns.MaxRuns)
+        .when(fmt === "html",
+          size(col("__hb")) === graft.expressions.HtmlBlocks.MaxBlocks &&
+            element_at(col("__hb"), -1).getField("end") < contentEnd(raw))
+        .otherwise(lit(false))
+
     val routed = staged2.withColumn("__x",
       when(fmt === "blank", blankRes)
         .when(fmt === "pdf",
@@ -303,6 +321,7 @@ object Extract {
             col("__ck"), col("__ca")))
         .when(fmt === "tooljson", toolJsonRes(raw, col("__tj"), plain, wspan))
         .otherwise(plainRes(plain, wspan)))
+      .withColumn("__trunc", truncated)
 
     routed.select(Seq(col("conv_id"), col("turn_idx"),
       col("__x.path").as("path"),
@@ -311,7 +330,8 @@ object Extract {
       col("__x.confidence").as("confidence"),
       col("__x.status").as("status"),
       col("__x.blocks_total").as("blocks_total"),
-      col("__x.blocks_kept").as("blocks_kept")) ++
+      col("__x.blocks_kept").as("blocks_kept"),
+      col("__trunc").as("truncated")) ++
       passThrough.map(col): _*)
   }
 }

@@ -114,7 +114,10 @@ object ExtractionJob {
         sum(col("blocks_total") - col("blocks_kept")).as("blocks_dropped"),
         sum(when(col("status") === "fallback", 1).otherwise(0))
           .as("parser_fallbacks"),
-        sum(when(col("status") === "blank", 1).otherwise(0)).as("blank_turns"))
+        sum(when(col("status") === "blank", 1).otherwise(0)).as("blank_turns"),
+        // truncation lineage: turns whose payload hit a tokenizer cap
+        // (content dropped — reference warnings trail, pipeline.py:2799)
+        sum(when(col("truncated"), 1).otherwise(0)).as("turns_truncated"))
       .withColumn("status", lit("complete"))
       .withColumn("wall_ms", lit(System.currentTimeMillis() - t0))
 

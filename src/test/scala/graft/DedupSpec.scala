@@ -44,6 +44,23 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(j - 0.9) < 1e-6)
   }
 
+  test("minhash broadcast and shuffle-join candidate paths return equal rows") {
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " phi chi"),
+      3L -> (base + " psi"),
+      4L -> "totally different words nothing shared here at all friend")
+      .toDF("doc_id", "text")
+    def run(bc: Boolean) =
+      Dedup.minhashDedup(docs, numHashes = 32, bands = 8, shingleWidth = 3,
+          threshold = 0.3, broadcastCandidates = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jaccard"))).toSet
+    val bcSet = run(bc = true)
+    assert(bcSet === run(bc = false))
+    assert(bcSet.nonEmpty)
+  }
+
   test("minhash signature approximates jaccard") {
     val df = Seq(1L -> base, 2L -> (base + " phi chi")).toDF("doc_id", "text")
     val sigs = Dedup.minhashed(df, numHashes = 128).collect()

@@ -70,6 +70,36 @@ class ResumeSpec extends SparkSpecBase {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("tokenizer caps set the truncated flag; manifest counts the turns") {
+    import spark.implicits._
+    val maxR = graft.expressions.PdfGlyphRuns.MaxRuns
+    val maxB = graft.expressions.HtmlBlocks.MaxBlocks
+    val bigPdf = "%PDF-SIM\n" +
+      (0 until maxR + 50).map(i => s"G 40 ${20 * i} 12 tok$i").mkString("\n")
+    val okPdf = "%PDF-SIM\nG 40 20 12 alpha\nG 40 40 12 beta"
+    val bigHtml =
+      (0 until maxB + 10).map(i => s"<p>block $i has enough words to keep " +
+        "one two three four five six</p>").mkString("<html>", "", "</html>")
+    val okHtml = "<html><p>one small content block with enough words here" +
+      "</p></html>"
+    val in = Seq(
+      ("c0", 0, "user", bigPdf, null: String),
+      ("c0", 1, "user", okPdf, null: String),
+      ("c0", 2, "user", bigHtml, null: String),
+      ("c0", 3, "user", okHtml, null: String),
+      ("c0", 4, "user", "plain words only", null: String))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    val flags = graft.operators.Extract(in)
+      .select("turn_idx", "truncated").collect()
+      .map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(0 -> true, 1 -> false, 2 -> true, 3 -> false,
+      4 -> false))
+    // lineage: the manifest records the dropped-content turns per bucket
+    val cfg = Config(tmp(), numBuckets = 2, saltChunk = 64)
+    val manifest = ExtractionJob.run(spark, in, cfg)
+    assert(manifest.agg(sum("turns_truncated")).head.getLong(0) === 2L)
+  }
+
   test("third run over a complete table is a no-op") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     val in = TranscriptGen.inputDf(spark, 500L)
