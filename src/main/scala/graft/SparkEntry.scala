@@ -299,6 +299,35 @@ object SparkEntry {
           "routed_text")
         .orderBy("doc_id")),
 
+    // conversation assembly under the DuckDB oracle (round-3 verdict #7:
+    // x02 is rows-only because Extract text isn't SQL-expressible; this
+    // twin derives a transcript-shaped frame from the documents table —
+    // the BillGen trick — and puts A3's sort_array/collect_list/geo-conf
+    // assembly semantics under the hard per-value signal, with the
+    // bounded-head gate applied BEFORE the aggregate exactly like x02)
+    "x12_conv_assembly_sql" -> ((s, dir) => {
+      import graft.functions.TextFunctions.plainNormalize
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val turns = docs.select(
+        (col("doc_id") % 40).cast("long").as("conv_id"),
+        floor(col("doc_id") / 40).cast("int").as("turn_idx"),
+        plainNormalize(col("text")).as("norm"),
+        (lit(0.5) + (col("doc_id") % 50).cast("double") / 100.0).as("conf"))
+      turns.groupBy("conv_id")
+        .agg(
+          count(lit(1)).as("n_turns"),
+          round(exp(avg(log(greatest(col("conf"), lit(1e-3))))), 6)
+            .as("geo_conf"),
+          array_join(
+            transform(
+              sort_array(collect_list(when(col("turn_idx") < 5,
+                struct(col("turn_idx"), col("norm"))))),
+              t => t.getField("norm")),
+            "\n").as("conv_text_head"))
+        .orderBy("conv_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -544,6 +573,21 @@ object SparkEntry {
         graft.operators.FieldExtract.fusedOracle(graft.gen.BillGen.billSql),
 
       "x11_adaptive_route" -> graft.operators.AdaptiveRoute.oracle,
+
+      "x12_conv_assembly_sql" -> {
+        import graft.functions.TextFunctions._
+        s"""WITH t AS (
+             SELECT CAST(doc_id % 40 AS BIGINT) AS conv_id,
+               CAST(doc_id // 40 AS INT) AS turn_idx,
+               ${plainNormalizeSql("text")} AS norm,
+               0.5 + CAST(doc_id % 50 AS DOUBLE) / 100.0 AS conf
+             FROM documents)
+           SELECT conv_id, count(*) AS n_turns,
+             round(exp(avg(ln(greatest(conf, 1e-3)))), 6) AS geo_conf,
+             string_agg(CASE WHEN turn_idx < 5 THEN norm END, chr(10)
+               ORDER BY turn_idx) AS conv_text_head
+           FROM t GROUP BY conv_id ORDER BY conv_id"""
+      },
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 

@@ -123,4 +123,31 @@ class PerturbationSpec extends SparkSpecBase {
     val r = extractOne(cleanPdf)
     assert(r.getAs[String]("text") === "hello world\nsecond line")
   }
+
+  test("levenshtein partial credit: accuracy degrades monotonically with severity") {
+    // The reference grades partial credit via SequenceMatcher.ratio
+    // (`run_comprehensive_tests.py:40-45`) and tolerance bands
+    // (`robustness_evaluation.py:250-284`), with accuracy falling as
+    // degradation severity rises; the exact-equality harness alone cannot
+    // see that curve. Char accuracy here = 1 − levenshtein/maxLen (the
+    // built-in edit distance), over a NESTED severity grid (severity s
+    // corrupts letter positions i%8 < s, so each level's corruption is a
+    // superset of the previous).
+    val longPlain = (contentWords + " ") * 3 + cleanPlain
+    val golden = extractOne(longPlain).getAs[String]("text")
+    def corrupt(s: String, sev: Int): String =
+      s.zipWithIndex.map { case (c, i) =>
+        if (c.isLetter && i % 8 < sev) 'x' else c }.mkString
+    val accs = (0 to 4).map { sev =>
+      val out = extractOne(corrupt(longPlain, sev)).getAs[String]("text")
+      val d = Seq((out, golden)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).head().getInt(0)
+      1.0 - d.toDouble / math.max(out.length, golden.length)
+    }
+    assert(accs.head === 1.0) // clean input: exact
+    accs.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"non-monotone degradation curve: $accs")
+    }
+    assert(accs.last < 0.9, s"severe noise should cost real accuracy: $accs")
+  }
 }
