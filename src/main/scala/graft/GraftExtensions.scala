@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash, VecDot}
+import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash, TokenSpans, VecDot}
 
 /** SparkSessionExtensions entry point — the idiomatic way to ship this
   * library's custom expressions into any session, including pure-SQL
@@ -51,5 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kie_best",
         "kie_best(text) - best electricity/carbon KIE candidates as struct<ke,kc>"),
       (children: Seq[Expression]) => KieBest(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_spans"),
+      info("token_spans",
+        "token_spans(text) - whitespace tokens with char spans in the single-space-collapsed string"),
+      (children: Seq[Expression]) => TokenSpans(children.head)))
   }
 }

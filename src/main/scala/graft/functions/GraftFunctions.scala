@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expr}
 
-import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash}
+import graft.expressions.{HtmlBlocks, KieBest, PdfGlyphRuns, Simhash, TokenSpans}
 
 /** Column facade + SQL registration for the graft's custom Catalyst
   * expressions. Everything else in the engine is Spark built-ins.
@@ -28,6 +28,12 @@ object GraftFunctions {
   def kie_best(text: Column): Column =
     column(KieBest(expr(text)))
 
+  /** `token_spans(text)` → array<struct<tok,start,end>> whitespace tokens
+    * with offsets in the single-space-collapsed string
+    */
+  def token_spans(text: Column): Column =
+    column(TokenSpans(expr(text)))
+
   /** Register the expressions for SQL use (`SELECT html_blocks(text)…`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -39,5 +45,7 @@ object GraftFunctions {
       "simhash64", exprs => Simhash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "kie_best", exprs => KieBest(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_spans", exprs => TokenSpans(exprs.head), "built-in")
   }
 }

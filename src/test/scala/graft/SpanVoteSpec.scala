@@ -71,6 +71,22 @@ class SpanVoteSpec extends SparkSpecBase {
     assert(one === Seq(("aa", 0, 2), ("bbb", 3, 6), ("c", 7, 8)))
   }
 
+  test("tokenSpans token stage is NARROW — no Exchange before the ensemble join") {
+    import graft.functions.TextFunctions.tokenSpans
+    // parquet-backed input: local relations constant-fold and would show
+    // no real plan (verify-skill gotcha)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    spark.range(100)
+      .selectExpr("cast(id as string) AS row_id", "'a bb ccc' AS text")
+      .write.mode("overwrite").parquet(dir)
+    val toks = spark.read.parquet(dir)
+      .select(col("row_id"), explode(tokenSpans(col("text"))).as("t"))
+    val plan = toks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"token-offset stage must not shuffle:\n$plan")
+    assert(plan.contains("token_spans"), plan)
+  }
+
   test("x07 end-to-end: elected tokens equal the golden corrected tokens") {
     val voted = SparkEntry.queries("x07_span_vote")(spark, "")
       .groupBy("row_id")
