@@ -16,6 +16,23 @@ class GoldenEqualitySpec extends SparkSpecBase {
   lazy val out = Extract(TranscriptGen.inputDf(spark, N)).cache()
   lazy val golden = TranscriptGen.goldenDf(spark, N)
 
+  test("staged projection: each tokenizer plans EXACTLY once") {
+    // The staging invariant (Extract Scaladoc): html_blocks /
+    // pdf_glyph_runs / the Jackson JSON parse are materialized once per
+    // row as gated intermediate columns; a refactor that lets
+    // CollapseProject re-inline them into the assembled CASE multiplies
+    // per-row cost ~10×. Parquet-backed input — local relations
+    // constant-fold and show no real plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    TranscriptGen.inputDf(spark, 200L).write.mode("overwrite").parquet(dir)
+    val plan = Extract(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    for (fn <- Seq("html_blocks", "pdf_glyph_runs", "get_json_object")) {
+      val count = fn.r.findAllMatchIn(plan).size
+      assert(count === 1, s"$fn appears $count times in the plan:\n$plan")
+    }
+  }
+
   test("row count matches golden count") {
     assert(out.count() === N)
   }
