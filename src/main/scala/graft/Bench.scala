@@ -156,12 +156,7 @@ object Bench {
       println(f"CHILD $cores $e1%.3f $ctlMin%.3f $bracket%.3f")
     } finally {
       s.stop()
-      if (scratch.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(scratch)
-      }
+      if (scratch.exists()) rmTree(scratch)
     }
   }
 
@@ -252,6 +247,12 @@ object Bench {
       }
       if (!done) {
         p.destroy()
+        // bounded wait for the dying JVM to actually exit before the
+        // finally-block scratch cleanup — a SIGTERM'd child keeps
+        // spilling shuffle files for a few seconds and files created
+        // after the delete walk would survive on RAM-backed tmpfs
+        val dl2 = System.nanoTime() + 10L * 1000000000L
+        while (p.isAlive() && System.nanoTime() < dl2) Thread.sleep(200)
         System.err.println(f"[bench] child local[$cores] killed at ${timeoutSec}%.0f s timeout")
         return None
       }
@@ -313,8 +314,10 @@ object Bench {
     // and the emitter (an earlier revision derived it twice and a pair
     // change desynced them — the r4e artifact zeroed its scaling block).
     // (1,4) on this 32-vCPU host; rationale at the measurement loop.
-    val four = math.max(cpus / 8, 2)
-    val n = math.max(four / 4, 1)
+    // four is DEFINED as 4·n: the efficiency math divides by exactly 4,
+    // so the pair must hold the 4× ratio for any SPARK_GRAFT_CPUS.
+    val n = math.max(cpus / 32, 1)
+    val four = 4 * n
 
     // battery results accumulate here (every query pre-seeded at -1 so
     // the JSON shape is complete from the first emit); scaling samples
@@ -325,7 +328,10 @@ object Bench {
     def emitCurrent(big: String, anchor: String): Unit = {
       val qs = qNames.map(k => "\"" + k + f"""\":${results(k)}%.3f""")
         .mkString("{", ",", "}")
-      val total = qNames.map(results).filter(_ >= 0).sum
+      // -1 ("not measured") until at least one query has a real timing —
+      // a 0.0 headline total would read as better than any real run
+      val measured = qNames.map(results).filter(_ >= 0)
+      val total = if (measured.isEmpty) -1.0 else measured.sum
       def minExtract(c: Int, dir: String): Double = {
         val mine = samples.filter(s => s._1 == c && s._2 == dir)
         if (mine.isEmpty) return -1.0
@@ -412,10 +418,11 @@ object Bench {
     // any ordering). Only the big input is generated up front — the
     // anchor input is deferred to the optional tail.
     //
-    // The pair is (cpus/16, cpus/4) — local[2] vs local[8] here — so the
-    // wide config claims only a quarter of the host's shared vCPUs: the
-    // box cannot supply more concurrently (measured control ceilings),
-    // and claiming ALL vCPUs triggers a hypervisor sys-time storm that
+    // The pair is (n, 4n) = (1, 4) here — derived once above, shared
+    // with the emitter; the wide config claims only an eighth of the
+    // host's shared vCPUs because the box cannot supply more
+    // concurrently (measured control ceilings; rationale below), and
+    // claiming ALL vCPUs triggers a hypervisor sys-time storm that
     // measures the host, not the engine. Inputs live on tmpfs: the
     // sandbox's single shared /tmp DISK is a non-scaling resource whose
     // neighbor I/O storms are INVISIBLE to the pure-compute controls.

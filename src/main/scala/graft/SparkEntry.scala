@@ -100,8 +100,9 @@ object SparkEntry {
       // but RAM-backed tmpfs must not accumulate across a session.
       // Cleanup is scoped to THIS process's dirs (PID in the prefix) —
       // a concurrent battery/verify on the same host must not have its
-      // in-flight output deleted from under it; dirs of dead processes
-      // are reaped by anyone once older than 30 min.
+      // in-flight output deleted from under it; dirs are reaped by
+      // anyone once 30 min old AND their owning PID is dead (a
+      // long-lived session's in-flight output survives any age).
       val base = {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isWritable(shm)) shm
@@ -109,9 +110,18 @@ object SparkEntry {
       }
       val pidPrefix = s"graft-x03-${ProcessHandle.current().pid()}-"
       val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
+      def ownerDead(name: String): Boolean =
+        "graft-x03-(\\d+)-".r.findFirstMatchIn(name) match {
+          case Some(m) =>
+            try !ProcessHandle.of(m.group(1).toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+            catch { case _: Throwable => false }
+          case None => false
+        }
       Option(base.toFile.listFiles())
         .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
-          (d.getName.startsWith("graft-x03-") && d.lastModified() < staleMs))
+          (d.getName.startsWith("graft-x03-") &&
+            d.lastModified() < staleMs && ownerDead(d.getName)))
           .foreach { d =>
             def rm(f: java.io.File): Unit = {
               Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

@@ -296,13 +296,13 @@ object Extract {
 
     // Truncation lineage (reference warnings trail, `pipeline.py:
     // 2799-2801`): hostile payloads stop at the tokenizers' hard caps —
-    // the flag records that content was DROPPED, so lineage (manifest
-    // `turns_truncated`) sees it instead of a silent cap. PDF is exact:
-    // the parser stops scanning only at MaxRuns accepted runs, so
-    // candidate lines beyond the cap were never examined (a sub-cap
-    // parse examined every candidate; misses there are malformed lines,
-    // not truncation). HTML flags a cap-full parse with non-whitespace
-    // content remaining beyond the last emitted block.
+    // the flag records that content MAY have been dropped, so lineage
+    // (manifest `turns_truncated`) sees it instead of a silent cap. The
+    // flag is CONSERVATIVE, like the reference's page-count warning: a
+    // cap-full PDF parse whose surplus candidates were all malformed, or
+    // a cap-full HTML parse trailed only by closing markup, still flags
+    // (never the reverse — a sub-cap parse examined every candidate and
+    // cannot have dropped content).
     val truncated =
       when(fmt === "pdf",
         size(col("__pr")) === graft.expressions.PdfGlyphRuns.MaxRuns &&

@@ -49,7 +49,10 @@ object ExtractionJob {
     val path = new org.apache.hadoop.fs.Path(manifestDir(cfg))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path))
-      spark.read.parquet(manifestDir(cfg))
+      // mergeSchema: manifests written before a metrics-column addition
+      // (e.g. turns_truncated) coexist with new files in one dir; a
+      // single-footer schema pick would randomly drop the new columns
+      spark.read.option("mergeSchema", "true").parquet(manifestDir(cfg))
         .filter(col("status") === "complete")
         .select("bucket").distinct()
     else
@@ -127,7 +130,7 @@ object ExtractionJob {
       .map(r => Integer.valueOf(r.getInt(0))).toSeq
     manifest.write.mode(SaveMode.Append).parquet(manifestDir(cfg))
     extracted.unpersist()
-    val all = spark.read.parquet(manifestDir(cfg))
+    val all = spark.read.option("mergeSchema", "true").parquet(manifestDir(cfg))
     if (bucketIds.isEmpty) all.filter(lit(false))
     else all.filter(col("bucket").isin(bucketIds: _*))
   }
