@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-engine ensemble voting over span-aligned tokens — the graft
@@ -89,18 +88,23 @@ object SpanVote {
     val variants = clustered
       .groupBy(col("row_id"), col("rep"), col("text"))
       .agg(count(lit(1)).as("votes"), sum(col("conf")).as("conf_sum"))
-    val wCluster = Window.partitionBy("row_id", "rep")
-    val wRank = Window.partitionBy("row_id", "rep")
-      .orderBy(col("score").desc, col("text"))
+    // Election as ONE hash aggregate: within a cluster the weighted
+    // score conf_sum/cluster_size shares the cluster_size denominator,
+    // so argmax(score) ≡ argmax(conf_sum); min_by over
+    // (-conf_sum, text) keeps the lexicographically-first tie-break.
+    // (The earlier two-window form re-sorted every cluster partition —
+    // a whole extra sort after the Exchange for an argmax.)
     val elected = variants
-      .withColumn("cluster_size", sum(col("votes")).over(wCluster))
-      .withColumn("score",
-        round(col("conf_sum") / col("cluster_size"), 6))
-      .withColumn("__rk", row_number().over(wRank))
-      .filter(col("__rk") === 1)
+      .groupBy(col("row_id"), col("rep"))
+      .agg(
+        sum(col("votes")).as("cluster_size"),
+        min_by(struct(col("text"), col("votes"), col("conf_sum")),
+          struct((-col("conf_sum")).as("nc"), col("text"))).as("w"))
       .select(col("row_id"),
         col("rep.start").as("start"), col("rep.end").as("end"),
-        col("text"), col("score"), col("votes"),
+        col("w.text").as("text"),
+        round(col("w.conf_sum") / col("cluster_size"), 6).as("score"),
+        col("w.votes").as("votes"),
         col("cluster_size").cast("int").as("cluster_size"))
     // eager: materializes the elected rows while `t` is cached, so the
     // token cache can be released before returning the (lazy-consumed)
