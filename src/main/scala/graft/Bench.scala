@@ -32,11 +32,12 @@ import graft.operators.Extract
   * windows inflated 8-core extracts 1.5-2.5× while 1-2-core runs were
   * barely touched — hence (4,16) → (2,8) → (1,4), exactly like
   * production executors sized below the machine. The input is sized so
-  * the wide run stays ≥ ~25 s and the narrow ≥ ~130 s
-  * (SPARK_GRAFT_BENCH_TURNS_4N, default 2.0 M turns for the (1,4) pair;
-  * at 600 k turns the wide configs measured fixed job overhead, not the
-  * engine). An optional tail pair (local[1] vs local[N] on a
-  * quarter-size input) anchors the per-core floor when N > 1.
+  * the wide run stays ≥ ~26 s and the narrow ≥ ~95 s, with TWO complete
+  * pairs fitting the scaling budget (SPARK_GRAFT_BENCH_TURNS_4N,
+  * default 1.8 M turns for the (1,4) pair; at 600 k turns the wide
+  * configs measured fixed job overhead, not the engine). An optional
+  * tail pair (local[1] vs local[N] on a quarter-size input) anchors the
+  * per-core floor when N > 1.
   *
   * Part 2 (runs LAST, inside the reserve) — headline queries from
   * SparkEntry at SPARK_GRAFT_SF_DIR, timed individually. Results are
@@ -284,10 +285,11 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 2.0 M turns sizes the (1,4) pair: the 4-core wide stays ≥ ~25 s
-    // (55 k turns/s measured) and the 1-core narrow ≥ ~130 s, inside one
-    // round's budget (3.2 M was the (2,8) sizing)
-    val turns4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_4N", "2000000").toLong
+    // 1.8 M turns sizes the (1,4) pair so TWO complete pairs fit the
+    // scaling budget (r4i at 2.0 M was ~35 s short of its second
+    // narrow): the 4-core wide stays ≥ ~26 s even in a clean window
+    // (68.6 k turns/s max measured) and the 1-core narrow ≥ ~95 s
+    val turns4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS_4N", "1800000").toLong
     val turnsAnchor = turns4N / 4
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     // wall-clock reserved for the query battery (part 2, run LAST): the
@@ -454,7 +456,7 @@ object Bench {
     // last observed wall cost per (config, input) for budget gating,
     // seeded from round 3/4 measurements with degraded-phase headroom
     val est = scala.collection.mutable.Map[(Int, String), Double](
-      (n, big) -> 230.0, (four, big) -> 90.0,
+      (n, big) -> 190.0, (four, big) -> 85.0,
       (1, anchor) -> 150.0, (n, anchor) -> 70.0)
     // what the scaling loop may still spend without invading the reserve
     def scalingLeft: Double = budget - elapsed - reserve
