@@ -338,6 +338,37 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // per-row token/confidence ops under the DuckDB oracle — flips the
+    // previously sbt-only rows to driver-verified: A1 top-k geometric
+    // mean (floor 1e-3, keep top 80% when n>20), F2 token-confidence
+    // filters, F5/T2/W3 sort+take-top-k, J2 match-region token alignment
+    // (fieldConfidence). Per-token confidences are synthesized
+    // deterministically so both engines compute identical doubles.
+    "x13_token_ops" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{fieldConfidence, geoMeanTopK}
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text"))
+      val toks0 = split(regexp_replace(
+        regexp_replace(col("text"), "\\A\\s+", ""), "\\s+\\z", ""), "\\s+")
+      val staged = docs
+        .withColumn("__tok", transform(toks0, (w, i) =>
+          struct(w.as("text"),
+            (pmod(col("doc_id") * 31 + (i + 1), lit(97)) / 96.0).as("conf"))))
+        .withColumn("__kept", filter(col("__tok"), t =>
+          t.getField("conf") >= 0.3 && length(t.getField("text")) > 0))
+        .withColumn("__matched", substring(col("text"), 1, 40))
+      val keptConfs = transform(col("__kept"), t => t.getField("conf"))
+      staged.select(col("doc_id"),
+          size(col("__tok")).as("n_tokens"),
+          size(col("__kept")).as("n_kept"),
+          round(geoMeanTopK(keptConfs), 6).as("geo_conf"),
+          round(aggregate(slice(sort_array(keptConfs, asc = false), 1, 5),
+            lit(0.0), (a, c) => a + c), 6).as("top5_sum"),
+          round(coalesce(fieldConfidence(col("__matched"), col("__kept")),
+            lit(-1.0)), 6).as("field_conf"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -598,6 +629,41 @@ object SparkEntry {
                ORDER BY turn_idx) AS conv_text_head
            FROM t GROUP BY conv_id ORDER BY conv_id"""
       },
+
+      "x13_token_ops" ->
+        """WITH t AS (
+             SELECT doc_id,
+               list_transform(
+                 string_split_regex(regexp_replace(regexp_replace(text,
+                   '\A\s+', ''), '\s+\z', ''), '\s+'),
+                 (w, i) -> struct_pack(text := w,
+                   conf := ((doc_id * 31 + i) % 97) / 96.0)) AS tok,
+               substring(text, 1, 40) AS matched
+             FROM documents),
+           k AS (
+             SELECT doc_id, matched, len(tok) AS n_tokens,
+               list_filter(tok,
+                 x -> x.conf >= 0.3 AND length(x.text) > 0) AS kept
+             FROM t),
+           g AS (
+             SELECT doc_id, matched, n_tokens, kept,
+               list_sort(list_transform(kept, x -> x.conf), 'DESC') AS cs,
+               CASE WHEN len(kept) > 20
+                 THEN CAST(ceil(len(kept) * 0.8) AS INT)
+                 ELSE len(kept) END AS kk,
+               list_filter(kept,
+                 x -> strpos(matched, x.text) > 0) AS rel
+             FROM k)
+           SELECT doc_id, n_tokens, len(kept) AS n_kept,
+             round(CASE WHEN len(kept) = 0 THEN 0.0
+               ELSE exp(list_sum(list_transform(cs[1:kk],
+                 c -> ln(greatest(c, 1e-3)))) / kk) END, 6) AS geo_conf,
+             round(coalesce(list_sum(cs[1:5]), 0.0), 6) AS top5_sum,
+             round(CASE WHEN len(rel) > 0
+               THEN least(exp(list_sum(list_transform(rel,
+                 x -> ln(greatest(x.conf, 0.01)))) / len(rel)), 0.99)
+               ELSE -1.0 END, 6) AS field_conf
+           FROM g ORDER BY doc_id""",
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
