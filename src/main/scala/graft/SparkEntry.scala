@@ -369,6 +369,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // span-IoU arithmetic under the DuckDB oracle (X17 / the J1
+    // residual predicate — previously only rows-only via x07): exactly
+    // [[graft.operators.SpanVote.iou]] plus the 0.5 clustering
+    // predicate, over deterministic synthesized intervals
+    "x14_span_iou" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val st = docs.select(col("doc_id"),
+        (col("doc_id") % 50).cast("int").as("a_s"),
+        (col("doc_id") % 50 + 1 + col("doc_id") % 7).cast("int").as("a_e"),
+        (col("doc_id") % 45 + 2).cast("int").as("b_s"),
+        (col("doc_id") % 45 + 4 + col("doc_id") % 5).cast("int").as("b_e"))
+      val iou = graft.operators.SpanVote.iou(
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"))
+      st.select(col("doc_id"), col("a_s"), col("a_e"), col("b_s"),
+          col("b_e"), round(iou, 6).as("iou"),
+          (iou >= 0.5).as("clustered"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -664,6 +683,27 @@ object SparkEntry {
                  x -> ln(greatest(x.conf, 0.01)))) / len(rel)), 0.99)
                ELSE -1.0 END, 6) AS field_conf
            FROM g ORDER BY doc_id""",
+
+      "x14_span_iou" ->
+        """WITH s AS (
+             SELECT doc_id,
+               CAST(doc_id % 50 AS INT) AS a_s,
+               CAST(doc_id % 50 + 1 + doc_id % 7 AS INT) AS a_e,
+               CAST(doc_id % 45 + 2 AS INT) AS b_s,
+               CAST(doc_id % 45 + 4 + doc_id % 5 AS INT) AS b_e
+             FROM documents),
+           i AS (
+             SELECT *,
+               greatest(least(a_e, b_e) - greatest(a_s, b_s), 0) AS inter,
+               (a_e - a_s) + (b_e - b_s)
+                 - greatest(least(a_e, b_e) - greatest(a_s, b_s), 0) AS uni
+             FROM s)
+           SELECT doc_id, a_s, a_e, b_s, b_e,
+             round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+               ELSE 0.0 END, 6) AS iou,
+             (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+               ELSE 0.0 END) >= 0.5 AS clustered
+           FROM i ORDER BY doc_id""",
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
