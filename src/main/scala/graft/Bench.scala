@@ -385,9 +385,20 @@ object Bench {
             }
           }
         }
+      // validity bound (pre-registered, physical): a pair reading > 1.05
+      // PROVABLY straddled a host-phase flip — the engine cannot scale
+      // super-linearly — so such rounds are excluded from selection
+      // (kept visible in efficiency_rounds; r4l's cleanest-bracket round
+      // read 1.144 and would otherwise headline). efficiency_minima is
+      // the within-run min-per-config capacity ratio — the two minima
+      // are minutes apart inside one run (unlike the cross-RUN minima
+      // round 3 banned), each from its config's cleanest window.
+      val validPairs = roundPairs.filter(_._2 <= 1.05)
       val effRaw =
-        if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
+        if (validPairs.nonEmpty) validPairs.minBy(_._1)._2
+        else if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
         else derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
+      val effMinima = derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
       val effRounds = roundPairs.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
       val effControl = derive(ctlThr(four), ctlThr(n))(ctlThr(four) / ctlThr(n) / 4.0)
       val effNormalized = derive(effRaw, effControl)(effRaw / effControl)
@@ -398,6 +409,7 @@ object Bench {
           f""""turns_per_sec_1":$tps1%.1f,""" +
           f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
           f""""efficiency":$effRaw%.3f,"efficiency_rounds":$effRounds,""" +
+          f""""efficiency_minima":$effMinima%.3f,""" +
           f""""control_efficiency":$effControl%.3f,""" +
           f""""normalized_efficiency":$effNormalized%.3f,""" +
           f""""efficiency_1_to_n":$eff1toN%.3f,"samples":${samples.size}}"""
