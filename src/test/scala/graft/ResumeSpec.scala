@@ -109,6 +109,36 @@ class ResumeSpec extends SparkSpecBase {
     assert(ExtractionJob.output(spark, cfg).count() === 500L)
   }
 
+  test("resume tolerates manifests written before a metrics-column addition") {
+    val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
+    val in = TranscriptGen.inputDf(spark, 500L)
+    ExtractionJob.run(spark, in, cfg, onlyBuckets = Some(Seq(0, 1)))
+    // simulate a pre-upgrade table: strip the newest metrics column from
+    // the existing manifest files, then resume with the current writer —
+    // the manifest dir now mixes schemas and must read with mergeSchema
+    val mdir = ExtractionJob.manifestDir(cfg)
+    val oldSchema = spark.read.parquet(mdir).drop("turns_truncated")
+    val staging = tmp()
+    oldSchema.write.mode("overwrite").parquet(staging)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(mdir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(mdir))
+
+    val resumed = ExtractionJob.run(spark, in, cfg)
+    // only the two missing buckets processed; their rows carry the column
+    assert(resumed.select("bucket").distinct().count() === 2)
+    assert(resumed.agg(sum("turns_truncated")).head.getLong(0) >= 0L)
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet(mdir)
+    assert(all.select("bucket").distinct().count() === 4)
+    // pre-upgrade rows surface null for the new column, new rows a value
+    assert(all.filter(col("turns_truncated").isNull).count() === 2)
+    assert(all.filter(col("turns_truncated").isNotNull).count() === 2)
+  }
+
   test("output ordering is stable within (bucket) partitions") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 1000L), cfg)
