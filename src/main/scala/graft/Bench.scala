@@ -623,7 +623,8 @@ object Bench {
     // attention) — two budget-gated re-runs, report the median. Queries
     // with internal persists are excluded: a same-plan re-run can hit
     // the session cache and report a fake warm time.
-    val persisting = Set("x03_bucketed_job_manifest", "x07_span_vote")
+    val persisting = Set("x03_bucketed_job_manifest", "x07_span_vote",
+      "x15_span_vote_sql")
     val cheap = qNames.filter(k =>
       results(k) >= 0 && results(k) <= 2.5 && !persisting(k))
     var reps = Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)

@@ -236,13 +236,20 @@ object SparkEntry {
           explode(tokenSpans(col("text"))).as("t"))
         .select(col("row_id"), col("t.tok").as("tok"),
           col("t.start").as("off"), col("t.end").as("tend"))
-      val engA = toks.select(col("row_id"), lit("corrected").as("engine"),
-        correctToken(col("tok")).as("text"), lit(0.9).as("conf"),
-        col("off").as("start"), col("tend").as("end"))
-      val engB = toks.select(col("row_id"), lit("raw").as("engine"),
-        col("tok").as("text"), lit(0.55).as("conf"),
-        col("off").as("start"), (col("tend") + 1).as("end"))
-      graft.operators.SpanVote.vote(engA.unionByName(engB))
+      // both engine variants from ONE pass over the token stage (explode
+      // of a 2-struct array, not a 2-branch union that would re-evaluate
+      // the tokenizer scan per branch when vote() materializes its cache)
+      val eng = toks.select(col("row_id"), explode(array(
+          struct(lit("corrected").as("engine"),
+            correctToken(col("tok")).as("text"), lit(0.9).as("conf"),
+            col("off").as("start"), col("tend").as("end")),
+          struct(lit("raw").as("engine"), col("tok").as("text"),
+            lit(0.55).as("conf"), col("off").as("start"),
+            (col("tend") + 1).as("end")))).as("e"))
+        .select(col("row_id"), col("e.engine").as("engine"),
+          col("e.text").as("text"), col("e.conf").as("conf"),
+          col("e.start").as("start"), col("e.end").as("end"))
+      graft.operators.SpanVote.vote(eng)
         .orderBy("row_id", "start", "end")
     }),
 
@@ -385,6 +392,77 @@ object SparkEntry {
       st.select(col("doc_id"), col("a_s"), col("a_e"), col("b_s"),
           col("b_e"), round(iou, 6).as("iou"),
           (iou >= 0.5).as("clustered"))
+        .orderBy("doc_id")
+    }),
+
+    // the FULL SpanVote ensemble under the DuckDB value oracle (J1+A4 —
+    // x07 itself stays rows-only because its transcript input is
+    // repo-generated; this twin runs the identical vote() operator over
+    // documents, where TokenSpans offsets ARE SQL-derivable via a
+    // cumulative-length window): three deterministic engines per token —
+    // corrected @0.9, raw with a doc/pos-seeded confidence and a ±1/±2
+    // span jitter (so clusters alternate between 3-member, 2-member and
+    // singleton shapes), uppercased "alt" @0.7 — through grid-cell
+    // candidate generation, IoU clustering, min-partner representative
+    // election and the confidence-weighted vote. Every arithmetic step
+    // (offsets, IoU, conf sums) is integer- or identical-double-derived,
+    // so both engines compute bit-equal values.
+    "x15_span_vote_sql" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{correctToken, isBlank, tokenSpans}
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text"))
+        .filter(!isBlank(col("text")))
+      val toks = docs.select(col("doc_id").as("row_id"),
+          posexplode(tokenSpans(col("text"))).as(Seq("pos", "t")))
+        .select(col("row_id"), col("pos"), col("t.tok").as("tok"),
+          col("t.start").as("off"), col("t.end").as("tend"))
+      // all three engine variants from ONE pass over the token stage
+      // (explode of a 3-struct array, not a 3-branch union that would
+      // re-evaluate the tokenizer scan per branch)
+      val eng = toks.select(col("row_id"), explode(array(
+          struct(lit("corrected").as("engine"),
+            correctToken(col("tok")).as("text"), lit(0.9).as("conf"),
+            col("off").as("start"), col("tend").as("end")),
+          struct(lit("raw").as("engine"), col("tok").as("text"),
+            (pmod(col("row_id") * 31 + col("pos"), lit(97)) / 96.0)
+              .as("conf"),
+            col("off").as("start"),
+            (col("tend") + lit(1) + pmod(col("pos"), lit(2))).as("end")),
+          struct(lit("alt").as("engine"), upper(col("tok")).as("text"),
+            lit(0.7).as("conf"), col("off").as("start"),
+            col("tend").as("end")))).as("e"))
+        .select(col("row_id"), col("e.engine").as("engine"),
+          col("e.text").as("text"), col("e.conf").as("conf"),
+          col("e.start").as("start"), col("e.end").as("end"))
+      graft.operators.SpanVote.vote(eng)
+        .orderBy("row_id", "start", "end")
+    }),
+
+    // isotonic-calibration PAV fit + piecewise-linear apply under the
+    // DuckDB value oracle (X20 — x06 stays rows-only because its
+    // validation labels come from Extract over repo-generated
+    // transcripts; here both the training set and the scoring set derive
+    // from doc_id arithmetic, and the oracle recomputes the fit through
+    // the L2-isotonic minimax identity fitted_i = max_{j<=i} min_{k>=i}
+    // wmean(y[j..k]) — the closed form of what pool-adjacent-violators
+    // computes iteratively). Training x has 41 distinct levels with a
+    // noisy-monotone label (P[correct] ramps 10%→90%), so PAV performs
+    // real pooling; scoring conf has 79 levels, so the apply path
+    // exercises genuine between-breakpoint interpolation, both clip
+    // branches' boundary indices, and exact-breakpoint hits (k/78 ==
+    // m/40 at 0, 0.5, 1 — all exactly representable doubles).
+    "x16_isotonic_pav" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val train = docs.select(lit("plain").as("path"),
+        (pmod(col("doc_id"), lit(41)) / 40.0).as("confidence"),
+        (pmod(col("doc_id") * 7919, lit(100)) <
+          lit(10) + pmod(col("doc_id"), lit(41)) * 2).as("correct"))
+      val models = graft.calibration.Calibration.fit(train)
+      docs.select(col("doc_id"),
+          round(pmod(col("doc_id"), lit(79)) / 78.0, 6).as("conf"),
+          round(graft.calibration.Calibration.applyCol(
+            pmod(col("doc_id"), lit(79)) / 78.0, lit("plain"), models), 6)
+            .as("calibrated"))
         .orderBy("doc_id")
     }),
 
@@ -704,6 +782,125 @@ object SparkEntry {
              (CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
                ELSE 0.0 END) >= 0.5 AS clustered
            FROM i ORDER BY doc_id""",
+
+      "x15_span_vote_sql" -> {
+        import graft.functions.TextFunctions._
+        s"""WITH d AS (
+             SELECT doc_id, string_split_regex(regexp_replace(
+               regexp_replace(text, '\\A\\s+', ''), '\\s+\\z', ''),
+               '\\s+') AS arr
+             FROM documents WHERE NOT ${isBlankSql("text")}),
+           tk0 AS (
+             SELECT doc_id AS row_id,
+               generate_subscripts(arr, 1) - 1 AS pos,
+               unnest(arr) AS tok
+             FROM d),
+           tk AS (
+             SELECT row_id, pos, tok,
+               CAST(coalesce(sum(length(tok) + 1) OVER (
+                 PARTITION BY row_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS INT) AS s
+             FROM tk0),
+           sp AS (SELECT *, s + CAST(length(tok) AS INT) AS e FROM tk),
+           eng AS (
+             SELECT row_id, 'corrected' AS engine,
+               ${correctTokenSql("tok")} AS text, 0.9 AS conf, s, e
+             FROM sp
+             UNION ALL
+             SELECT row_id, 'raw', tok,
+               ((row_id * 31 + pos) % 97) / 96.0, s, e + 1 + pos % 2
+             FROM sp
+             UNION ALL
+             SELECT row_id, 'alt', upper(tok), 0.7, s, e FROM sp),
+           cells AS (
+             SELECT eng.*, unnest(generate_series(s // 16, (e - 1) // 16))
+               AS cell
+             FROM eng),
+           pr AS (
+             SELECT DISTINCT a.row_id,
+               a.s AS m_s, a.e AS m_e, a.engine AS m_g, a.text AS m_t,
+               b.s AS p_s, b.e AS p_e, b.engine AS p_g, b.text AS p_t
+             FROM cells a JOIN cells b
+               ON a.row_id = b.row_id AND a.cell = b.cell
+               AND CAST(greatest(least(a.e, b.e) - greatest(a.s, b.s), 0)
+                     AS DOUBLE)
+                   >= 0.5 * ((a.e - a.s) + (b.e - b.s)
+                     - greatest(least(a.e, b.e) - greatest(a.s, b.s), 0))
+               AND (a.e - a.s) + (b.e - b.s)
+                     - greatest(least(a.e, b.e) - greatest(a.s, b.s), 0) > 0),
+           reps AS (
+             SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY row_id, m_s, m_e, m_g, m_t
+                 ORDER BY p_s, p_e, p_g, p_t) AS rn
+               FROM pr) WHERE rn = 1),
+           cl AS (
+             SELECT g.row_id, r.p_s AS rep_s, r.p_e AS rep_e,
+               r.p_g AS rep_g, r.p_t AS rep_t, g.text, g.conf
+             FROM eng g JOIN reps r ON g.row_id = r.row_id
+               AND g.s = r.m_s AND g.e = r.m_e
+               AND g.engine = r.m_g AND g.text = r.m_t),
+           vr AS (
+             SELECT row_id, rep_s, rep_e, rep_g, rep_t, text,
+               count(*) AS votes, sum(conf) AS conf_sum
+             FROM cl GROUP BY 1, 2, 3, 4, 5, 6),
+           el AS (
+             SELECT *,
+               sum(votes) OVER (
+                 PARTITION BY row_id, rep_s, rep_e, rep_g, rep_t)
+                 AS cluster_size,
+               row_number() OVER (
+                 PARTITION BY row_id, rep_s, rep_e, rep_g, rep_t
+                 ORDER BY conf_sum DESC, text) AS rn
+             FROM vr)
+           SELECT row_id, rep_s AS "start", rep_e AS "end", text,
+             round(conf_sum / cluster_size, 6) AS score, votes,
+             CAST(cluster_size AS INT) AS cluster_size
+           FROM el WHERE rn = 1
+           ORDER BY row_id, "start", "end""""
+      },
+
+      "x16_isotonic_pav" ->
+        """WITH pts AS (
+             SELECT (doc_id % 41) / 40.0 AS x,
+               CASE WHEN (doc_id * 7919) % 100 < 10 + (doc_id % 41) * 2
+                 THEN 1.0 ELSE 0.0 END AS y
+             FROM documents),
+           g AS (SELECT x, avg(y) AS y, CAST(count(*) AS DOUBLE) AS w
+                 FROM pts GROUP BY x),
+           o AS (SELECT x, y, w, row_number() OVER (ORDER BY x) AS i
+                 FROM g),
+           p AS (SELECT *, sum(w * y) OVER (ORDER BY i) AS sy,
+                 sum(w) OVER (ORDER BY i) AS sw FROM o),
+           rng AS (
+             SELECT j.i AS j, k.i AS k,
+               (k.sy - coalesce(jp.sy, 0)) / (k.sw - coalesce(jp.sw, 0))
+                 AS m
+             FROM p j JOIN p k ON k.i >= j.i
+             LEFT JOIN p jp ON jp.i = j.i - 1),
+           tri AS (
+             SELECT r.j, o2.i AS i, min(r.m) AS minm
+             FROM rng r JOIN o o2 ON r.j <= o2.i AND r.k >= o2.i
+             GROUP BY 1, 2),
+           fit AS (SELECT i, max(minm) AS fy FROM tri GROUP BY i),
+           curve AS (SELECT o.i, o.x, f.fy AS y FROM o JOIN fit f USING (i)),
+           ev AS (SELECT doc_id, (doc_id % 79) / 78.0 AS v FROM documents),
+           ap AS (
+             SELECT e.doc_id, e.v,
+               (SELECT count(*) FROM curve c WHERE c.x <= e.v) AS li
+             FROM ev e)
+           SELECT a.doc_id, round(a.v, 6) AS conf,
+             round(CASE
+               WHEN a.li = 0 THEN (SELECT y FROM curve WHERE i = 1)
+               WHEN a.li = (SELECT count(*) FROM curve)
+                 THEN (SELECT y FROM curve ORDER BY i DESC LIMIT 1)
+               ELSE cl.y + (cr.y - cl.y) * (a.v - cl.x) / (cr.x - cl.x)
+             END, 6) AS calibrated
+           FROM ap a
+           LEFT JOIN curve cl ON cl.i = a.li
+           LEFT JOIN curve cr ON cr.i = a.li + 1
+           ORDER BY a.doc_id""",
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 

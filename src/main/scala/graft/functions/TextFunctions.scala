@@ -184,16 +184,20 @@ object TextFunctions {
         ELSE regexp_replace(regexp_replace(regexp_replace($x,
           '\\A\\s+', ''), '\\s+\\z', ''), '\\s+', ' ', 'g') END"""
 
+  /** twin of [[correctToken]]; `x` names a token-valued SQL expression */
+  def correctTokenSql(x: String): String =
+    s"""CASE WHEN regexp_matches($x, '$NumTokenRe')
+              AND regexp_matches($x, '[0-9]')
+        THEN translate($x, '$ConfusablesFrom', '$ConfusablesTo')
+        ELSE $x END"""
+
   /** twin of [[plainNormalize]] */
   def plainNormalizeSql(x: String): String =
     s"""CASE WHEN ${isBlankSql(x)} THEN ''
         ELSE array_to_string(list_transform(
           string_split_regex(regexp_replace(regexp_replace($x,
             '\\A\\s+', ''), '\\s+\\z', ''), '\\s+'),
-          w -> CASE WHEN regexp_matches(w, '$NumTokenRe')
-                      AND regexp_matches(w, '[0-9]')
-               THEN translate(w, '$ConfusablesFrom', '$ConfusablesTo')
-               ELSE w END), ' ') END"""
+          w -> ${correctTokenSql("w")}), ' ') END"""
 
   /** twins of [[contentStart]] / [[contentEnd]] */
   def contentStartSql(x: String): String =

@@ -24,6 +24,30 @@ class CalibrationSpec extends SparkSpecBase {
     assert(dup.ys.toSeq === Seq(0.5, 1.0))
   }
 
+  test("PAV equals the L2-isotonic minimax closed form (the x16 oracle)") {
+    // fitted_i = max_{j<=i} min_{k>=i} wmean(y[j..k]) over the grouped,
+    // x-sorted points — the identity the x16 DuckDB oracle evaluates in
+    // SQL. Pinned here against pava() on a deterministic noisy ramp so
+    // the oracle's algebra has a living in-repo cross-check.
+    val pts = (0 until 400).map { d =>
+      ((d % 41) / 40.0, if ((d * 7919) % 100 < 10 + (d % 41) * 2) 1.0 else 0.0)
+    }
+    val m = Calibration.pava(pts)
+    val grouped = pts.groupBy(_._1).toArray
+      .map { case (x, ps) => (x, ps.map(_._2).sum, ps.size.toDouble) }
+      .sortBy(_._1)
+    val sy = grouped.scanLeft(0.0)(_ + _._2) // prefix sums (1-based)
+    val sw = grouped.scanLeft(0.0)(_ + _._3)
+    def wmean(j: Int, k: Int) = (sy(k + 1) - sy(j)) / (sw(k + 1) - sw(j))
+    grouped.indices.foreach { i =>
+      val minimax = (0 to i).map { j =>
+        (i until grouped.length).map(k => wmean(j, k)).min
+      }.max
+      assert(math.abs(m.ys(i) - minimax) < 1e-12,
+        s"at x=${m.xs(i)}: pava ${m.ys(i)} vs minimax $minimax")
+    }
+  }
+
   test("interpolation clips at both ends and is linear between breakpoints") {
     val m = Calibration.Model(Array(0.2, 0.6, 1.0), Array(0.1, 0.5, 0.9))
     assert(m.interpolate(0.0) === 0.1)
