@@ -24,7 +24,11 @@ import graft.operators.Extract
   * children (BENCH_r03: samples 0, the one child killed at the budget's
   * remains), so the scaling loop now spends the budget first and may not
   * invade SPARK_GRAFT_BENCH_BATTERY_RESERVE_SEC (default 270 s) kept for
-  * the battery. The pair sits FAR below the host's 32 shared vCPUs
+  * the battery — with ONE exception: a SECOND narrow-on-big sample may
+  * borrow up to min(60 s, reserve/4), because a lone narrow gives the
+  * round-selection no choice (r4n headlined its only, dirty-window
+  * round at 0.759 while three clean wides sat unpaired) and the battery
+  * self-gates gracefully when the reserve shrinks. The pair sits FAR below the host's 32 shared vCPUs
   * deliberately — the wide config must be one the box can actually
   * supply concurrently, or the number measures neighbor contention, not
   * the engine: round-3 controls showed 16 concurrent cores are never
@@ -477,7 +481,19 @@ object Bench {
     var lastAttemptWall: Option[Double] = None
     def tryChild(c: Int, dir: String, turns: Long, round: Int): Option[Double] = {
       val e0 = est.getOrElse((c, dir), 150.0)
-      if (scalingLeft < e0 * 0.95) {
+      // A SECOND narrow-on-big sample may borrow a bounded slice of the
+      // battery reserve: the scaling pair is the north-rule criterion and
+      // a lone narrow leaves the round-selection no choice (the r4n trial
+      // missed its round-2 narrow by 15 s and headlined a dirty-window
+      // pair), while the battery degrades gracefully when the reserve
+      // shrinks (its warm-up pass and median re-runs self-gate on the
+      // remaining budget — losing them costs polish, not the criterion).
+      val narrowSamples = samples.count(s => s._1 == c && s._2 == dir)
+      val borrow =
+        if (c == n && dir == big && narrowSamples == 1)
+          math.min(60.0, reserve * 0.25)
+        else 0.0
+      if (scalingLeft + borrow < e0 * 0.95) {
         System.err.println(
           f"[bench] skipping local[$c] on $dir (est $e0%.0f s > scaling budget $scalingLeft%.0f s)")
         lastAttemptWall = None
@@ -487,7 +503,7 @@ object Bench {
       // per-child timeout capped at ~2.2× its estimate (round-3 ADVICE:
       // one degraded child was granted the WHOLE remaining budget, timed
       // out, and starved every later child) and at the scaling budget
-      val timeout = math.min(scalingLeft - 5, e0 * 2.2)
+      val timeout = math.min(scalingLeft + borrow - 5, e0 * 2.2)
       val r = runChild(c, dir, timeoutSec = timeout).map { case (e, ctl, br) =>
         System.err.println(
           f"[bench] round $round local[$c] ($turns turns): extract $e%.2f s, control $ctl%.2f s, bracket $br%.2f s")
@@ -516,15 +532,33 @@ object Bench {
         // two 220+ s kills in one degraded phase). Once the budget
         // tightens, attempt regardless: a measured try beats certain
         // nothing.
-        var probe = pageProbe()
-        var steal = stealFrac()
-        while ((probe > 1.0 || steal > 0.10) && scalingLeft > 320) {
-          System.err.println(
-            f"[bench] degraded host window (page probe $probe%.2f s, steal " +
-              f"${steal * 100}%.0f%%), waiting 25 s (scaling budget $scalingLeft%.0f s)")
-          Thread.sleep(25000)
-          probe = pageProbe()
-          steal = stealFrac()
+        // threshold 0.5 s (was 1.0): healthy first-touch is ~0.15 s, and
+        // the r4n trial exited the gate on a reading in the 0.5-1.0
+        // boundary band whose lingering mild degradation inflated the
+        // whole round ~20% (wide 25.1 s vs 20.3 s minutes later). Two
+        // CONSECUTIVE clean reads are required before an expensive round:
+        // a single probe at a phase boundary flaps (13.5→11.9→6.2→3.9→
+        // "clean" in r4n); the confirmation probe costs ~0.15 s in a
+        // genuinely healthy window.
+        def dirty(): (Boolean, Double, Double) = {
+          val p = pageProbe(); val s = stealFrac()
+          (p > 0.5 || s > 0.10, p, s)
+        }
+        var cleanStreak = 0
+        while (cleanStreak < 2 && scalingLeft > 320) {
+          val (d, probe, steal) = dirty()
+          if (!d) {
+            cleanStreak += 1
+            // confirmation probe samples a DIFFERENT instant — two
+            // back-to-back reads are correlated at a phase boundary
+            if (cleanStreak == 1) Thread.sleep(8000)
+          } else {
+            cleanStreak = 0
+            System.err.println(
+              f"[bench] degraded host window (page probe $probe%.2f s, steal " +
+                f"${steal * 100}%.0f%%), waiting 25 s (scaling budget $scalingLeft%.0f s)")
+            Thread.sleep(25000)
+          }
         }
         val t4n = tryChild(four, big, turns4N, r)
         val wideWall = lastAttemptWall
