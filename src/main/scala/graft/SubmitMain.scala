@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.ExtractionJob
+
+/** spark-submit entry point for the extraction job (the north-rule
+  * deployment surface: `spark-submit --class graft.SubmitMain <jar>
+  * <input> <outDir> [numBuckets]`). Unlike [[Verify]]/[[Bench]] (driver
+  * harness mains that build their own local sessions), this main takes
+  * the session FROM spark-submit — master, executor sizing, shuffle
+  * partitions and AQE all come from the cluster launch config, exactly
+  * as a 1000-executor run would set them.
+  *
+  * `<input>`: a transcript-shaped parquet path
+  * (conv_id, turn_idx, role, text, tool, ts), or `gen:N` to synthesize
+  * N deterministic turns in-job (smoke runs need no pre-made input).
+  *
+  * Re-running with the same `<outDir>` resumes from the manifest:
+  * completed buckets are skipped (left-anti join), partial buckets are
+  * overwritten atomically via dynamic partition overwrite — kill the
+  * job at any point and re-submit to finish it.
+  */
+object SubmitMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: spark-submit --class graft.SubmitMain <jar> " +
+        "<inputParquet|gen:N> <outDir> [numBuckets]")
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .getOrCreate()
+    try {
+      val input =
+        if (args(0).startsWith("gen:"))
+          gen.TranscriptGen.inputDf(spark, args(0).stripPrefix("gen:").toLong)
+        else spark.read.parquet(args(0))
+      val cfg = ExtractionJob.Config(outDir = args(1),
+        numBuckets = if (args.length > 2) args(2).toInt else 32)
+      val manifest = ExtractionJob.run(spark, input, cfg)
+      // one summary line per bucket completed by THIS run (resume-aware:
+      // an already-complete run prints nothing here)
+      manifest.orderBy("bucket").collect().foreach { r =>
+        println(s"bucket=${r.getAs[Int]("bucket")} " +
+          s"turns=${r.getAs[Long]("turns_processed")} " +
+          s"blocks_dropped=${r.getAs[Long]("blocks_dropped")} " +
+          s"fallbacks=${r.getAs[Long]("parser_fallbacks")} " +
+          s"truncated=${r.getAs[Long]("turns_truncated")}")
+      }
+      println(s"graft-extract complete: ${manifest.count()} buckets " +
+        s"this run, output at ${ExtractionJob.dataDir(cfg)}")
+    } finally spark.stop()
+  }
+}
