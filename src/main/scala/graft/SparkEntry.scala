@@ -466,6 +466,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // media-container decode under the DuckDB value oracle (S3/S4 + the
+    // m01 plumbing — m01 itself stays rows-only because MediaGen payloads
+    // are java-Random bytes no SQL engine can rebuild; this twin encodes
+    // the SAME container format — 4-byte magic, 2-byte BE width/height,
+    // 16-byte frames — from doc_id arithmetic with an ASCII payload, so
+    // magic sniffing, header byte-offset decode, payload slicing, stride
+    // frame sampling and the payload sha256 are all value-checked; the
+    // hash works cross-engine because sha2 over the binary payload and
+    // DuckDB's sha256 over the equivalent VARCHAR hash identical UTF-8
+    // bytes). Narrow single-pass projection — no shuffle at any scale.
+    "x17_media_decode_sql" -> ((s, dir) => {
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"))
+      val nf = (lit(1) + pmod(col("doc_id"), lit(9))).cast("int")
+      val payload = array_join(
+        transform(sequence(lit(0), nf - 1), f =>
+          lpad(pmod(col("doc_id") * 1000003L + f.cast("long") * 97L,
+            lit(10000000000000000L)).cast("string"), 16, "0")), "")
+      val magic = when(pmod(col("doc_id"), lit(17)) === 16, "XXXX")
+        .otherwise(element_at(
+          array(lit("GIM0"), lit("GAU0"), lit("GMV0")),
+          pmod(col("doc_id"), lit(3)).cast("int") + 1))
+      val w = lit(64) + pmod(col("doc_id") * 7, lit(192))
+      val h = lit(48) + pmod(col("doc_id") * 11, lit(144))
+      val bin = concat(
+        encode(magic, "UTF-8"),
+        unhex(lpad(hex(w), 4, "0")), unhex(lpad(hex(h), 4, "0")),
+        encode(payload, "UTF-8"))
+      val staged = docs.select(col("doc_id"), bin.as("bin"))
+        .withColumn("meta", Media.decodeStub(col("bin")))
+        .withColumn("frames", Media.frames(col("bin"), stride = 4))
+      staged.select(col("doc_id"),
+          col("meta.kind").as("kind"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.payload_bytes").as("payload_bytes"),
+          col("meta.n_frames").as("n_frames"),
+          Media.payloadHash(col("bin")).as("payload_sha256"),
+          array_join(transform(col("frames"), f => f.cast("string")), "|")
+            .as("sampled"),
+          size(col("frames")).cast("long").as("n_sampled"))
+        .orderBy("doc_id")
+    }),
+
+    // A6 rolling/running metrics under the DuckDB value oracle
+    // (reference keeps an incremental mean of per-doc processing time,
+    // `adaptive_ocr_pipeline.py:517-528`; Spark-first shape is a window
+    // aggregate — one shuffle on the partition key, then a streaming
+    // frame scan per partition, no driver state). Sums go through
+    // DECIMAL so both engines accumulate exactly and divide once —
+    // double window sums are association-order dependent and DuckDB's
+    // segment-tree frames would drift from Spark's running buffer.
+    "x18_rolling_metrics" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last5 = w.rowsBetween(-4, Window.currentRow)
+      val dec = col("value").cast("decimal(18,6)")
+      ev.select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          count(lit(1)).over(run).as("n_seen"),
+          round(sum(dec).over(run).cast("double")
+            / count(lit(1)).over(run), 6).as("running_avg"),
+          round(sum(dec).over(last5).cast("double")
+            / count(lit(1)).over(last5), 6).as("rolling_avg5"))
+        .orderBy("event_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -901,6 +969,51 @@ object SparkEntry {
            LEFT JOIN curve cl ON cl.i = a.li
            LEFT JOIN curve cr ON cr.i = a.li + 1
            ORDER BY a.doc_id""",
+
+      "x17_media_decode_sql" ->
+        """WITH m AS (
+             SELECT doc_id, doc_id % 17 = 16 AS corrupt,
+               CAST(1 + doc_id % 9 AS INT) AS nf
+             FROM documents),
+           fr AS (
+             SELECT doc_id, corrupt, nf,
+               list_transform(range(0, nf), f -> lpad(CAST(
+                 (doc_id*1000003 + f*97) % 10000000000000000 AS VARCHAR),
+                 16, '0')) AS frames
+             FROM m)
+           SELECT doc_id,
+             CASE WHEN corrupt THEN 'unknown'
+               ELSE ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+               END AS kind,
+             CASE WHEN corrupt THEN NULL
+               ELSE CAST(64 + (doc_id*7) % 192 AS BIGINT) END AS width,
+             CASE WHEN corrupt THEN NULL
+               ELSE CAST(48 + (doc_id*11) % 144 AS BIGINT) END AS height,
+             CAST(nf * 16 AS BIGINT) AS payload_bytes,
+             CASE WHEN corrupt THEN NULL
+               ELSE CAST(nf AS BIGINT) END AS n_frames,
+             sha256(array_to_string(frames, '')) AS payload_sha256,
+             array_to_string(list_transform(
+               list_filter(range(0, nf), f -> f % 4 = 0),
+               f -> frames[CAST(f AS INT) + 1]), '|') AS sampled,
+             CAST(len(list_filter(range(0, nf), f -> f % 4 = 0))
+               AS BIGINT) AS n_sampled
+           FROM fr ORDER BY doc_id""",
+
+      "x18_rolling_metrics" ->
+        """SELECT event_id, event_type, round(value, 6) AS value,
+             count(*) OVER run AS n_seen,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER run
+               AS DOUBLE) / count(*) OVER run, 6) AS running_avg,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER last5
+               AS DOUBLE) / count(*) OVER last5, 6) AS rolling_avg5
+           FROM events
+           WINDOW
+             run AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             last5 AS (PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           ORDER BY event_id""",
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
