@@ -534,6 +534,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Extract-core value oracle (SURVEY S2/G1/G3/W2/A3): the FULL
+    // Extract operator over closed-form pdf payloads derived from
+    // doc_id ([[graft.gen.PdfGen]]) — glyph-run parse, recursive XY-cut
+    // column ordering, reading-order line assembly, raw-char spans,
+    // parse-fraction confidence and the τ-ladder plain fallback all land
+    // under the DuckDB hash compare (previously sbt-golden-only).
+    "x19_pdf_extract_core" -> ((s, dir) => {
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"))
+      Extract(graft.gen.PdfGen.withPdfPayload(docs))
+        .select(col("conv_id").as("doc_id"), col("path"), col("text"),
+          array_join(transform(col("spans"), sp => concat(
+            sp.getField("start").cast("string"), lit(":"),
+            sp.getField("end").cast("string"))), ",").as("span_str"),
+          round(col("confidence"), 6).as("confidence"),
+          col("status"), col("blocks_total"), col("blocks_kept"),
+          col("truncated"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -1014,6 +1034,8 @@ object SparkEntry {
              last5 AS (PARTITION BY event_type ORDER BY event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            ORDER BY event_id""",
+
+      "x19_pdf_extract_core" -> graft.gen.PdfGen.oracle,
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
