@@ -554,6 +554,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Extract-core value oracle, HTML path (SURVEY S2/F1-F3/F5/A1/W1):
+    // the FULL Extract operator over closed-form html payloads derived
+    // from doc_id ([[graft.gen.HtmlGen]]) — streaming tag tokenize,
+    // entity decode, whitespace collapse, boiler drop, link-density
+    // classification, Readability container rescue, block spans, top-k
+    // geometric-mean confidence and the τ-ladder aggressive/plain
+    // fallbacks all land under the DuckDB hash compare.
+    "x20_html_extract_core" -> ((s, dir) => {
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"))
+      Extract(graft.gen.HtmlGen.withHtmlPayload(docs))
+        .select(col("conv_id").as("doc_id"), col("path"), col("text"),
+          array_join(transform(col("spans"), sp => concat(
+            sp.getField("start").cast("string"), lit(":"),
+            sp.getField("end").cast("string"))), ",").as("span_str"),
+          round(col("confidence"), 6).as("confidence"),
+          col("status"), col("blocks_total"), col("blocks_kept"),
+          col("truncated"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -1036,6 +1057,8 @@ object SparkEntry {
            ORDER BY event_id""",
 
       "x19_pdf_extract_core" -> graft.gen.PdfGen.oracle,
+
+      "x20_html_extract_core" -> graft.gen.HtmlGen.oracle,
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 
