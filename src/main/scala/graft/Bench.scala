@@ -393,16 +393,36 @@ object Bench {
       // PROVABLY straddled a host-phase flip — the engine cannot scale
       // super-linearly — so such rounds are excluded from selection
       // (kept visible in efficiency_rounds; r4l's cleanest-bracket round
-      // read 1.144 and would otherwise headline). efficiency_minima is
-      // the within-run min-per-config capacity ratio — the two minima
-      // are minutes apart inside one run (unlike the cross-RUN minima
-      // round 3 banned), each from its config's cleanest window.
+      // read 1.144 and would otherwise headline).
       val validPairs = roundPairs.filter(_._2 <= 1.05)
-      val effRaw =
+      val effPair =
         if (validPairs.nonEmpty) validPairs.minBy(_._1)._2
         else if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
-        else derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
+        else -1.0
       val effMinima = derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
+      // Headline selection. The two members are NOT equally noisy: every
+      // committed trial shows the 1-core narrow within a few % across
+      // rounds (neighbor interference barely touches one core — r4r:
+      // 51.4/52.6/54.7 s) while the 4-core wide spreads 15-20% (it
+      // competes for 4 concurrent cores), and wide inflation only ever
+      // UNDERSTATES the ratio. So when the narrow member demonstrates
+      // phase stability (≥2 samples within 10%), the within-run
+      // min-per-config capacity ratio is the cleanest estimate — each
+      // config's minimum is its least-interfered window (interference
+      // only inflates), the stable narrow closes the one overstatement
+      // channel (an inflated narrow minimum), and the ≤1.05 physical
+      // bound backstops it. Without a stable narrow, fall back to the
+      // same-round cleanest-bracket pair (phase-adjacency bound), which
+      // r4r showed can headline an inflated-wide round (0.762 while the
+      // run's own minima read 0.880): brackets are 2 s probes around a
+      // 15-50 s extract and under-sample the phase.
+      val narrows = samples.filter(s => s._1 == n && s._2 == big).map(_._4)
+      val narrowStable = narrows.size >= 2 &&
+        (narrows.max - narrows.min) / narrows.min <= 0.10
+      val effRaw =
+        if (narrowStable && effMinima >= 0 && effMinima <= 1.05) effMinima
+        else if (effPair >= 0) effPair
+        else effMinima
       val effRounds = roundPairs.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
       val effControl = derive(ctlThr(four), ctlThr(n))(ctlThr(four) / ctlThr(n) / 4.0)
       val effNormalized = derive(effRaw, effControl)(effRaw / effControl)
@@ -413,6 +433,7 @@ object Bench {
           f""""turns_per_sec_1":$tps1%.1f,""" +
           f""""turns_per_sec_n":$tpsN%.1f,"turns_per_sec_4n":$tps4N%.1f,""" +
           f""""efficiency":$effRaw%.3f,"efficiency_rounds":$effRounds,""" +
+          f""""efficiency_pair":$effPair%.3f,""" +
           f""""efficiency_minima":$effMinima%.3f,""" +
           f""""control_efficiency":$effControl%.3f,""" +
           f""""normalized_efficiency":$effNormalized%.3f,""" +

@@ -41,6 +41,19 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** shared projection of the extract-core value-oracle queries
+    * (x19/x20/x21): Extract output → the DuckDB-comparable flat shape
+    * (span structs flattened to a "s:e,…" string, confidence rounded).
+    */
+  private def extractCoreSelect(extracted: DataFrame): DataFrame =
+    extracted.select(col("conv_id").as("doc_id"), col("path"), col("text"),
+      array_join(transform(col("spans"), sp => concat(
+        sp.getField("start").cast("string"), lit(":"),
+        sp.getField("end").cast("string"))), ",").as("span_str"),
+      round(col("confidence"), 6).as("confidence"),
+      col("status"), col("blocks_total"), col("blocks_kept"),
+      col("truncated"))
+
   /** documents table + deterministic near-duplicate rows (id+100000,
     * 3 tokens appended) — gives the near-dup detectors real positives.
     */
@@ -137,16 +150,28 @@ object SparkEntry {
     }),
 
     // SQL surface: the custom tokenizers registered and used from SQL
-    "x04_sql_surface" -> ((s, _) => {
+    // SQL surface (SURVEY §2.11) under the DuckDB value oracle: the
+    // registered custom expressions run through spark.sql over the x19/
+    // x20 closed-form payloads, so the SQL-registration path itself is
+    // value-verified (block/run counts have closed forms in doc_id —
+    // html: k / k+2 / k+3 / 1 / 1 by payload class, pdf: k / 2k / k / 0;
+    // see HtmlGen/PdfGen). One narrow projection, no join: both payload
+    // columns derive from the same scanned doc_id row.
+    "x04_sql_surface" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      TranscriptGen.inputDf(s, 2000L).createOrReplaceTempView("transcripts")
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"))
+      graft.gen.HtmlGen.withHtmlPayload(docs)
+        .select(col("conv_id").as("doc_id"), col("text").as("htext"))
+        .withColumn("ptext",
+          graft.gen.PdfGen.payloadCol(col("doc_id")))
+        .createOrReplaceTempView("graft_x04_payloads")
       s.sql("""
-        SELECT conv_id, turn_idx,
-               size(html_blocks(text)) AS n_html_blocks,
-               size(pdf_glyph_runs(text)) AS n_pdf_runs
-        FROM transcripts
-        WHERE text IS NOT NULL
-        ORDER BY conv_id, turn_idx""")
+        SELECT doc_id,
+               size(html_blocks(htext)) AS n_html_blocks,
+               size(pdf_glyph_runs(ptext)) AS n_pdf_runs
+        FROM graft_x04_payloads
+        ORDER BY doc_id""")
     }),
 
     // KIE field extraction (SURVEY X1-X10): regex fallback chains with
@@ -543,14 +568,7 @@ object SparkEntry {
     "x19_pdf_extract_core" -> ((s, dir) => {
       val docs = spread(s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id"))
-      Extract(graft.gen.PdfGen.withPdfPayload(docs))
-        .select(col("conv_id").as("doc_id"), col("path"), col("text"),
-          array_join(transform(col("spans"), sp => concat(
-            sp.getField("start").cast("string"), lit(":"),
-            sp.getField("end").cast("string"))), ",").as("span_str"),
-          round(col("confidence"), 6).as("confidence"),
-          col("status"), col("blocks_total"), col("blocks_kept"),
-          col("truncated"))
+      extractCoreSelect(Extract(graft.gen.PdfGen.withPdfPayload(docs)))
         .orderBy("doc_id")
     }),
 
@@ -564,15 +582,41 @@ object SparkEntry {
     "x20_html_extract_core" -> ((s, dir) => {
       val docs = spread(s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id"))
-      Extract(graft.gen.HtmlGen.withHtmlPayload(docs))
-        .select(col("conv_id").as("doc_id"), col("path"), col("text"),
-          array_join(transform(col("spans"), sp => concat(
-            sp.getField("start").cast("string"), lit(":"),
-            sp.getField("end").cast("string"))), ",").as("span_str"),
-          round(col("confidence"), 6).as("confidence"),
-          col("status"), col("blocks_total"), col("blocks_kept"),
-          col("truncated"))
+      extractCoreSelect(Extract(graft.gen.HtmlGen.withHtmlPayload(docs)))
         .orderBy("doc_id")
+    }),
+
+    // Streaming extraction under the SAME value oracle as x20 (SURVEY
+    // §2.10): the x20 closed-form html payloads flow through
+    // readStream → StreamingExtract → memory sink with an AvailableNow
+    // trigger, so the STREAMING execution of the extract core — micro-
+    // batch planning included — lands under the DuckDB hash compare
+    // (previously sbt StreamingSpec only). The file source reads the
+    // same documents table; the payload/extract stages are the batch
+    // expressions verbatim (stateless per-row projections are
+    // streaming-safe unchanged — the design claim this query verifies).
+    "x21_streaming_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      // the driver's tables are SINGLE parquet files; FileStreamSource
+      // requires a directory basePath unless the path is a glob — the
+      // one-character class makes it a (deterministic, single-match)
+      // glob. Real deployments stream directories.
+      val src = s.readStream.schema(sch)
+        .parquet(s"$dir/documents.[p]arquet").select("doc_id")
+      val extracted = extractCoreSelect(
+        graft.streaming.StreamingExtract(
+          graft.gen.HtmlGen.withHtmlPayload(src)))
+      val q = extracted.writeStream
+        .format("memory").queryName("graft_x21_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_x21_stream").orderBy("doc_id")
     }),
 
     // ================= training-data pipeline ops (documents/embeddings)
@@ -1059,6 +1103,27 @@ object SparkEntry {
       "x19_pdf_extract_core" -> graft.gen.PdfGen.oracle,
 
       "x20_html_extract_core" -> graft.gen.HtmlGen.oracle,
+
+      // streaming execution of the same extract core — identical
+      // expected output by construction (stateless per-row projections)
+      "x21_streaming_extract" -> graft.gen.HtmlGen.oracle,
+
+      // SQL-surface counts: closed-form block/run totals per payload
+      // class (HtmlGen §classes: k / k+2 / k+3 / 1 / 1; PdfGen: class 1
+      // interleaves 2k runs, class 2's malformed line parses to k valid
+      // runs, class 3 has none)
+      "x04_sql_surface" ->
+        """WITH d AS (
+             SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS k,
+                    CAST(doc_id % 5 AS INT) AS hcls,
+                    CAST(doc_id % 4 AS INT) AS pcls
+             FROM documents)
+           SELECT doc_id,
+             CAST(CASE hcls WHEN 0 THEN k WHEN 1 THEN k + 2
+               WHEN 2 THEN k + 3 ELSE 1 END AS INT) AS n_html_blocks,
+             CAST(CASE pcls WHEN 1 THEN 2 * k WHEN 3 THEN 0
+               ELSE k END AS INT) AS n_pdf_runs
+           FROM d ORDER BY doc_id""",
 
       "t01_text_analysis" -> TextAnalysis.oracle,
 

@@ -47,11 +47,11 @@ object PdfGen {
     */
   val BadLine = "G x 9 bad"
 
-  /** docs(doc_id, …) → (conv_id, turn_idx, role, text, tool) transcript
-    * frame whose `text` is the closed-form pdf payload for the doc.
+  /** the closed-form pdf payload as a pure column over `doc_id` — usable
+    * wherever a pdf-class payload is needed without the transcript frame
+    * shape (e.g. the x04 SQL-surface oracle query).
     */
-  def withPdfPayload(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
+  def payloadCol(id: Column): Column = {
     val cls = pmod(id, lit(4))
     val k = (lit(2) + pmod(id, lit(3))).cast("int")
     val idxs = sequence(lit(0), k - 1)
@@ -67,19 +67,23 @@ object PdfGen {
         slice(transform(idxs, i => leftLine(id, i)), 2, 3)),
       "\n")
 
-    val payload = concat(lit("%PDF-SIM\n"),
+    concat(lit("%PDF-SIM\n"),
       when(cls === 0, single)
         .when(cls === 1, twoCol)
         .when(cls === 2, withBad)
         .otherwise(concat(lit("tail "), id.cast("string"))))
+  }
 
+  /** docs(doc_id, …) → (conv_id, turn_idx, role, text, tool) transcript
+    * frame whose `text` is the closed-form pdf payload for the doc.
+    */
+  def withPdfPayload(docs: DataFrame): DataFrame =
     docs.select(
-      id.as("conv_id"),
+      col("doc_id").as("conv_id"),
       lit(0).as("turn_idx"),
       lit("tool").as("role"),
-      payload.as("text"),
+      payloadCol(col("doc_id")).as("text"),
       lit(null).cast("string").as("tool"))
-  }
 
   /** DuckDB twin: the EXPECTED `Extract` output (text, span list,
     * confidence, status, block counts) recomputed arithmetically from
