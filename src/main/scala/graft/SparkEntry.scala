@@ -619,6 +619,58 @@ object SparkEntry {
       s.table("graft_x21_stream").orderBy("doc_id")
     }),
 
+    // Cap/truncation lineage under the DuckDB value oracle (SURVEY T3/
+    // T4 + the reference's warnings trail, `pipeline.py:2799-2801`):
+    // payloads that EXCEED the tokenizers' hard caps — MaxRuns+10 pdf
+    // run lines, MaxBlocks+5 html paragraphs — on a sparse doc subset
+    // (doc_id % 101 = 0), verifying the caps fire at exactly the cap,
+    // the conservative `truncated` flag raises, pdf confidence degrades
+    // to the parsed fraction, and the kept prefix is byte-exact. The
+    // output is closed-form AGGREGATES (counts + text/span length sums,
+    // each a cumulative-arithmetic twin of the x19/x20 span checks) so
+    // the oracle recomputes a 100 KB hostile payload's expected result
+    // without materializing 30 KB strings in the compare.
+    "x22_truncation_lineage" -> ((s, dir) => {
+      import graft.expressions.{HtmlBlocks, PdfGlyphRuns}
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id")
+        .filter(pmod(col("doc_id"), lit(101)) === 0))
+      val did = col("doc_id")
+      val R = PdfGlyphRuns.MaxRuns
+      val B = HtmlBlocks.MaxBlocks
+      val pdfPayload = concat(lit("%PDF-SIM\n"),
+        array_join(transform(sequence(lit(0), lit(R + 9)), i =>
+          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
+            lit(" 12 w"),
+            pmod(did * 7 + i, lit(1000)).cast("string"))), "\n"))
+      val htmlPayload = concat(lit("<html><body>"),
+        array_join(transform(sequence(lit(0), lit(B + 4)), i =>
+          concat(lit("<p>"),
+            array_join(transform(sequence(lit(0), lit(8)), j =>
+              concat(lit("w"),
+                pmod(did * 7 + i * 13 + j, lit(1000)).cast("string"))),
+              " "),
+            lit("</p>"))), ""),
+        lit("</body></html>"))
+      val frame = docs.select(did.as("conv_id"),
+          explode(array(
+            struct(lit(0).as("turn_idx"), pdfPayload.as("text")),
+            struct(lit(1).as("turn_idx"), htmlPayload.as("text")))).as("e"))
+        .select(col("conv_id"), col("e.turn_idx").as("turn_idx"),
+          lit("user").as("role"), col("e.text").as("text"),
+          lit(null).cast("string").as("tool"))
+      Extract(frame)
+        .select(col("conv_id").as("doc_id"), col("turn_idx"), col("path"),
+          col("status"), col("truncated"), col("blocks_total"),
+          col("blocks_kept"), size(col("spans")).as("n_spans"),
+          length(col("text")).as("text_len"),
+          aggregate(col("spans"), lit(0),
+            (acc, sp) => acc + sp.getField("end") - sp.getField("start"))
+            .as("span_len_sum"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy("doc_id", "turn_idx")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -841,6 +893,12 @@ object SparkEntry {
     Map(
       "x05_field_extract" ->
         graft.operators.FieldExtract.oracle(graft.gen.BillGen.billSql),
+
+      // the FULL nested to_json utility-bill payload, byte-exact:
+      // field order, null-field omission, Jackson double rendering,
+      // bit-identical fused confidences, sha256 of the identical bill
+      "x10_bill_payload" ->
+        graft.operators.FieldExtract.payloadOracle(graft.gen.BillGen.billSql),
 
       "x08_plain_normalize" -> {
         import graft.functions.TextFunctions._
@@ -1107,6 +1165,38 @@ object SparkEntry {
       // streaming execution of the same extract core — identical
       // expected output by construction (stateless per-row projections)
       "x21_streaming_extract" -> graft.gen.HtmlGen.oracle,
+
+      // cap truncation: pdf keeps exactly MaxRuns=5000 of 5010 valid
+      // run lines (conf = parsed fraction 5000/5010, status fallback,
+      // 4999 newline separators), html keeps exactly MaxBlocks=1000 of
+      // 1005 nine-word paragraphs (8 intra-paragraph spaces each, 999
+      // separators); span widths are the token-length sums
+      "x22_truncation_lineage" ->
+        """WITH d AS (
+             SELECT doc_id FROM documents WHERE doc_id % 101 = 0),
+           pw AS (
+             SELECT d.doc_id,
+               CAST(SUM(1 + length(CAST((d.doc_id*7 + g.i) % 1000
+                 AS VARCHAR))) AS INT) AS wsum
+             FROM d, generate_series(0, 4999) g(i) GROUP BY d.doc_id),
+           hw AS (
+             SELECT d.doc_id,
+               CAST(SUM(1 + length(CAST((d.doc_id*7 + g.i*13 + gj.j)
+                 % 1000 AS VARCHAR))) + 8000 AS INT) AS wsum
+             FROM d, generate_series(0, 999) g(i),
+                  generate_series(0, 8) gj(j)
+             GROUP BY d.doc_id)
+           SELECT p.doc_id, 0 AS turn_idx, 'pdf' AS path,
+             'fallback' AS status, TRUE AS truncated,
+             5000 AS blocks_total, 5000 AS blocks_kept, 5000 AS n_spans,
+             p.wsum + 4999 AS text_len, p.wsum AS span_len_sum,
+             round(5000 / 5010.0, 6) AS confidence
+           FROM pw p
+           UNION ALL
+           SELECT h.doc_id, 1, 'html', 'success', TRUE, 1000, 1000, 1000,
+             h.wsum + 999, h.wsum, 1.0
+           FROM hw h
+           ORDER BY doc_id, turn_idx""",
 
       // SQL-surface counts: closed-form block/run totals per payload
       // class (HtmlGen §classes: k / k+2 / k+3 / 1 / 1; PdfGen: class 1
