@@ -165,6 +165,53 @@ object Bench {
     }
   }
 
+  /** Headline-efficiency selection, pure (spec'd in BenchSelectSpec).
+    *
+    * The two pair members are NOT equally noisy: every committed trial
+    * shows the 1-core narrow within a few % across rounds (neighbor
+    * interference barely touches one core — r4r: 51.4/52.6/54.7 s)
+    * while the 4-core wide spreads 15-20% (it competes for 4 concurrent
+    * cores), and wide inflation only ever UNDERSTATES the ratio. So
+    * when the narrow member demonstrates phase stability (≥2 samples
+    * within 10%), the within-run min-per-config capacity ratio is the
+    * cleanest estimate — each config's minimum is its least-interfered
+    * window (interference only inflates), the stable narrow closes the
+    * one overstatement channel (an inflated narrow minimum), and the
+    * ≤1.05 physical bound backstops it. Without a stable narrow, fall
+    * back to the same-round cleanest-bracket pair (phase-adjacency
+    * bound), which r4s-era trials showed can headline an inflated-wide
+    * round (r4r: 0.762 while the run's own minima read 0.880) —
+    * brackets are 2 s probes around a 15-50 s extract and under-sample
+    * the phase.
+    *
+    * @param roundPairs (bracketPenalty, pairEfficiency, round) per
+    *                   complete same-round pair
+    * @param narrows    raw narrow-config extract seconds (all samples)
+    * @param effMinima  min-per-config capacity ratio, -1 if unmeasured
+    * @return (headline efficiency, pair-selected efficiency) — -1 for
+    *         unmeasured
+    */
+  def selectEfficiency(roundPairs: Seq[(Double, Double, Int)],
+      narrows: Seq[Double], effMinima: Double): (Double, Double) = {
+    // validity bound (pre-registered, physical): a pair reading > 1.05
+    // PROVABLY straddled a host-phase flip — the engine cannot scale
+    // super-linearly — so such rounds are excluded from selection
+    // (kept visible in efficiency_rounds; r4l's cleanest-bracket round
+    // read 1.144 and would otherwise headline).
+    val validPairs = roundPairs.filter(_._2 <= 1.05)
+    val effPair =
+      if (validPairs.nonEmpty) validPairs.minBy(_._1)._2
+      else if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
+      else -1.0
+    val narrowStable = narrows.size >= 2 &&
+      (narrows.max - narrows.min) / narrows.min <= 0.10
+    val headline =
+      if (narrowStable && effMinima >= 0 && effMinima <= 1.05) effMinima
+      else if (effPair >= 0) effPair
+      else effMinima
+    (headline, effPair)
+  }
+
   /** recursive delete helper */
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
@@ -389,40 +436,13 @@ object Bench {
             }
           }
         }
-      // validity bound (pre-registered, physical): a pair reading > 1.05
-      // PROVABLY straddled a host-phase flip — the engine cannot scale
-      // super-linearly — so such rounds are excluded from selection
-      // (kept visible in efficiency_rounds; r4l's cleanest-bracket round
-      // read 1.144 and would otherwise headline).
-      val validPairs = roundPairs.filter(_._2 <= 1.05)
-      val effPair =
-        if (validPairs.nonEmpty) validPairs.minBy(_._1)._2
-        else if (roundPairs.nonEmpty) roundPairs.minBy(_._1)._2
-        else -1.0
       val effMinima = derive(tps4N, tpsN)((tps4N / tpsN) / 4.0)
-      // Headline selection. The two members are NOT equally noisy: every
-      // committed trial shows the 1-core narrow within a few % across
-      // rounds (neighbor interference barely touches one core — r4r:
-      // 51.4/52.6/54.7 s) while the 4-core wide spreads 15-20% (it
-      // competes for 4 concurrent cores), and wide inflation only ever
-      // UNDERSTATES the ratio. So when the narrow member demonstrates
-      // phase stability (≥2 samples within 10%), the within-run
-      // min-per-config capacity ratio is the cleanest estimate — each
-      // config's minimum is its least-interfered window (interference
-      // only inflates), the stable narrow closes the one overstatement
-      // channel (an inflated narrow minimum), and the ≤1.05 physical
-      // bound backstops it. Without a stable narrow, fall back to the
-      // same-round cleanest-bracket pair (phase-adjacency bound), which
-      // r4r showed can headline an inflated-wide round (0.762 while the
-      // run's own minima read 0.880): brackets are 2 s probes around a
-      // 15-50 s extract and under-sample the phase.
+      // headline selection: stable-narrow min-per-config capacity ratio,
+      // else cleanest-bracket same-round pair — rationale and the ≤1.05
+      // validity bound live at [[selectEfficiency]]
       val narrows = samples.filter(s => s._1 == n && s._2 == big).map(_._4)
-      val narrowStable = narrows.size >= 2 &&
-        (narrows.max - narrows.min) / narrows.min <= 0.10
-      val effRaw =
-        if (narrowStable && effMinima >= 0 && effMinima <= 1.05) effMinima
-        else if (effPair >= 0) effPair
-        else effMinima
+      val (effRaw, effPair) =
+        selectEfficiency(roundPairs, narrows, effMinima)
       val effRounds = roundPairs.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
       val effControl = derive(ctlThr(four), ctlThr(n))(ctlThr(four) / ctlThr(n) / 4.0)
       val effNormalized = derive(effRaw, effControl)(effRaw / effControl)
