@@ -634,6 +634,46 @@ object Bench {
               f"wall ${wideWall.getOrElse(-1.0)}%.0f s), narrow run deferred")
         }
       }
+      // RESCUE rounds: the r4s failure shape — phase gates correctly
+      // deferred the degraded-window narrows, but the ONE narrow that
+      // ran straddled a phase flip, so the run ended with a single
+      // provably-invalid pair (1.101 > the 1.05 bound) and no valid
+      // north-rule number. When every completed round's pair is invalid
+      // (or no pair completed at all) and the scaling budget still
+      // covers a full (wide, narrow) pair, spend it on up to two extra
+      // rounds — MORE DATA under the same pre-registered selection
+      // rules, never a rule change. The narrow runs ungated here: the
+      // gates' deferral is WHY the run is pairless, the kill timer
+      // bounds a degraded child, and a measured try beats certain
+      // nothing (the round-4n lesson).
+      def hasValidPair: Boolean = samples.groupBy(_._7).exists {
+        case (r, ss) if r > 0 =>
+          val w = ss.filter(s => s._1 == four && s._2 == big)
+            .map(_._4).minOption
+          val nn = ss.find(s => s._1 == n && s._2 == big).map(_._4)
+          (w, nn) match {
+            case (Some(ws), Some(ns)) => (ns / ws) / 4.0 <= 1.05
+            case _ => false
+          }
+        case _ => false
+      }
+      var rescue = 0
+      while (!hasValidPair && rescue < 2 &&
+          scalingLeft > est((four, big)) + est((n, big)) + 15) {
+        rescue += 1
+        val r = rounds + rescue
+        System.err.println(
+          f"[bench] no valid pair after ${r - 1} rounds — rescue round $r " +
+            f"(scaling budget $scalingLeft%.0f s)")
+        // one cheap phase probe; wait a single 25 s step if dirty and
+        // the budget still covers the pair afterwards
+        if (pageProbe() > 0.5 &&
+            scalingLeft > est((four, big)) + est((n, big)) + 45)
+          Thread.sleep(25000)
+        tryChild(four, big, turns4N, r)
+        tryChild(n, big, turns4N, r)
+      }
+
       // optional tail: the (1 → n) anchor pair on the quarter-size input
       // (per-core throughput floor + a narrow-width efficiency point),
       // only when the scaling budget still covers generating it + both
