@@ -116,8 +116,13 @@ object Bench {
     * a multi-node cluster would not share, so leaving shuffle on it
     * measures the disk, not the engine.
     */
-  private def scaleChild(cores: Int, inDir: String): Unit = {
-    val scratch = new java.io.File(s"/dev/shm/graft-shuffle-$cores")
+  private def scaleChild(cores: Int, inDir: String,
+      scratchPath: String): Unit = {
+    // scratch path is parent-assigned and parent-PID-scoped: the parent
+    // must be able to reap it after a kill, and a fixed shared name
+    // raced concurrent bench processes on the same host (one parent's
+    // cleanup deleted the other's live child shuffle dirs)
+    val scratch = new java.io.File(scratchPath)
     val localDir =
       if (new java.io.File("/dev/shm").canWrite) { scratch.mkdirs(); scratch.getPath }
       else System.getProperty("java.io.tmpdir")
@@ -205,10 +210,15 @@ object Bench {
       else -1.0
     val narrowStable = narrows.size >= 2 &&
       (narrows.max - narrows.min) / narrows.min <= 0.10
+    // the headline NEVER reports a value the 1.05 bound declares
+    // physically impossible — an invalid-only run headlines -1
+    // ("unmeasured", the artifact contract) with the raw values still
+    // visible in efficiency_pair / efficiency_minima / efficiency_rounds
     val headline =
       if (narrowStable && effMinima >= 0 && effMinima <= 1.05) effMinima
-      else if (effPair >= 0) effPair
-      else effMinima
+      else if (effPair >= 0 && effPair <= 1.05) effPair
+      else if (effMinima >= 0 && effMinima <= 1.05) effMinima
+      else -1.0
     (headline, effPair)
   }
 
@@ -260,16 +270,28 @@ object Bench {
     if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
   }
 
+  /** parent-PID-scoped tmpfs shuffle scratch for one child config — a
+    * fixed shared name raced concurrent bench processes on one host
+    * (one parent's post-kill cleanup deleted the other's live child
+    * shuffle dirs); PID-scoping makes parent-side reaping safe, the
+    * same fix the x03 scratch got.
+    */
+  private def childScratch(cores: Int): String =
+    s"/dev/shm/graft-shuffle-${ProcessHandle.current().pid()}-$cores"
+
   /** spawn a fresh JVM running scaleChild (same classpath + add-opens),
-    * hard-killed after `timeoutSec`; failures/timeouts are reported, not
-    * thrown — one bad child must not cost the whole benchmark line. The
-    * parent removes the child's tmpfs shuffle scratch afterwards: a
-    * killed child skips its own finally-block cleanup, and RAM-backed
-    * /dev/shm must not accumulate across rounds on the shared host.
+    * hard-killed after `timeoutSec` — SIGTERM first (Spark shutdown
+    * hooks run), escalating to destroyForcibly after a 10 s grace (a
+    * child wedged in shutdown/GC on the degraded host must not outlive
+    * its timeout and contaminate the NEXT measurement window); failures/
+    * timeouts are reported, not thrown — one bad child must not cost the
+    * whole benchmark line. The parent removes the child's (parent-PID-
+    * scoped) tmpfs shuffle scratch afterwards: a killed child skips its
+    * own finally-block cleanup, and RAM-backed /dev/shm must not
+    * accumulate across rounds on the shared host.
     */
   private def runChild(cores: Int, inDir: String,
       timeoutSec: Double): Option[(Double, Double, Double)] = {
-    import scala.sys.process._
     // 4g (was 8g): the job needs far less — per-task sort state is tens
     // of MB and the sink is noop — while the heap pre-touch is the
     // dominant child cost in a lazy-paging host phase (first-touch of
@@ -283,31 +305,45 @@ object Bench {
       // phases where first-touch of fresh pages is ~100× slow (lazy
       // paging); pre-touch pays it once, OUTSIDE the measured windows
       s"-Xmx$childMem", s"-Xms$childMem", "-XX:+AlwaysPreTouch")
+    val scratch = childScratch(cores)
     val cmd = Seq(
       System.getProperty("java.home") + "/bin/java") ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "--scale-child", cores.toString, inDir)
+      "graft.Bench", "--scale-child", cores.toString, inDir, scratch)
     try {
+      // java.lang.ProcessBuilder (not scala.sys.process): only it
+      // exposes destroyForcibly for the SIGKILL escalation
+      val pb = new java.lang.ProcessBuilder(cmd: _*)
+      val p = pb.start()
       val out = new StringBuilder
-      val p = Process(cmd).run(ProcessLogger(l => out.synchronized {
-        out.append(l).append('\n') },
-        e => if (e.startsWith("[child")) System.err.println(e)))
-      val deadline = System.nanoTime() + (timeoutSec * 1e9).toLong
-      var done = false
-      while (!done && System.nanoTime() < deadline) {
-        if (p.isAlive()) Thread.sleep(500) else done = true
+      def gobble(in: java.io.InputStream, err: Boolean): Thread = {
+        val t = new Thread(() => {
+          val src = scala.io.Source.fromInputStream(in)
+          try src.getLines().foreach { l =>
+            if (err) { if (l.startsWith("[child")) System.err.println(l) }
+            else out.synchronized { out.append(l).append('\n'); () }
+          } catch { case _: Throwable => () } finally src.close()
+        })
+        t.setDaemon(true); t.start(); t
       }
-      if (!done) {
+      val go = gobble(p.getInputStream, err = false)
+      gobble(p.getErrorStream, err = true)
+      val finished =
+        p.waitFor((timeoutSec * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!finished) {
         p.destroy()
-        // bounded wait for the dying JVM to actually exit before the
-        // finally-block scratch cleanup — a SIGTERM'd child keeps
-        // spilling shuffle files for a few seconds and files created
-        // after the delete walk would survive on RAM-backed tmpfs
-        val dl2 = System.nanoTime() + 10L * 1000000000L
-        while (p.isAlive() && System.nanoTime() < dl2) Thread.sleep(200)
+        // bounded grace for the dying JVM (shutdown hooks still flush
+        // shuffle files a SIGKILL would orphan mid-write), THEN the
+        // forcible kill — a wedged child must not keep eating cores
+        // into the next measurement window
+        if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly()
+          p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+        }
         System.err.println(f"[bench] child local[$cores] killed at ${timeoutSec}%.0f s timeout")
         return None
       }
+      go.join(2000)
       val code = p.exitValue()
       for {
         _ <- Some(()) if code == 0
@@ -319,14 +355,15 @@ object Bench {
         System.err.println(s"[bench] child local[$cores] failed: ${e.getMessage}")
         None
     } finally {
-      val scratch = new java.io.File(s"/dev/shm/graft-shuffle-$cores")
-      if (scratch.exists()) rmTree(scratch)
+      val f = new java.io.File(scratch)
+      if (f.exists()) rmTree(f)
     }
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "--scale-child") {
-      scaleChild(args(1).toInt, args(2))
+      scaleChild(args(1).toInt, args(2),
+        if (args.length >= 4) args(3) else childScratch(args(1).toInt))
       return
     }
 

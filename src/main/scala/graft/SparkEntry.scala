@@ -123,18 +123,25 @@ object SparkEntry {
       }
       val pidPrefix = s"graft-x03-${ProcessHandle.current().pid()}-"
       val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
+      // beyond a day, reap regardless of owner liveness: a recycled PID
+      // (or a legacy dir with no PID segment, which the regex cannot
+      // match) must not pin RAM-backed tmpfs forever
+      val veryStaleMs = System.currentTimeMillis() - 24L * 3600 * 1000
       def ownerDead(name: String): Boolean =
         "graft-x03-(\\d+)-".r.findFirstMatchIn(name) match {
           case Some(m) =>
             try !ProcessHandle.of(m.group(1).toLong)
               .map[Boolean](_.isAlive).orElse(false)
             catch { case _: Throwable => false }
-          case None => false
+          // no parseable owner (pre-PID-prefix format): a 30-min-old
+          // such dir cannot be a live PID-scoped process's output
+          case None => true
         }
       Option(base.toFile.listFiles())
         .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
           (d.getName.startsWith("graft-x03-") &&
-            d.lastModified() < staleMs && ownerDead(d.getName)))
+            d.lastModified() < staleMs &&
+            (ownerDead(d.getName) || d.lastModified() < veryStaleMs)))
           .foreach { d =>
             def rm(f: java.io.File): Unit = {
               Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

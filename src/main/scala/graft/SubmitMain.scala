@@ -39,14 +39,17 @@ object SubmitMain {
       val manifest = ExtractionJob.run(spark, input, cfg)
       // one summary line per bucket completed by THIS run (resume-aware:
       // an already-complete run prints nothing here)
-      manifest.orderBy("bucket").collect().foreach { r =>
+      val rows = manifest.orderBy("bucket").collect()
+      rows.foreach { r =>
         println(s"bucket=${r.getAs[Int]("bucket")} " +
           s"turns=${r.getAs[Long]("turns_processed")} " +
           s"blocks_dropped=${r.getAs[Long]("blocks_dropped")} " +
           s"fallbacks=${r.getAs[Long]("parser_fallbacks")} " +
           s"truncated=${r.getAs[Long]("turns_truncated")}")
       }
-      println(s"graft-extract complete: ${manifest.count()} buckets " +
+      // count from the already-collected rows — a manifest.count() here
+      // re-scanned the whole manifest dir for one number
+      println(s"graft-extract complete: ${rows.length} buckets " +
         s"this run, output at ${ExtractionJob.dataDir(cfg)}")
     } finally spark.stop()
   }

@@ -54,6 +54,7 @@ object SpanVote {
       col("conf").cast("double").as("conf"),
       col("start").cast("int").as("start"), col("end").cast("int").as("end"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // every grid cell a span touches (equi-join key; IoU is residual)
     def cells(df: DataFrame): DataFrame =
@@ -108,9 +109,9 @@ object SpanVote {
         col("cluster_size").cast("int").as("cluster_size"))
     // eager: materializes the elected rows while `t` is cached, so the
     // token cache can be released before returning the (lazy-consumed)
-    // result frame
-    val out = elected.localCheckpoint()
-    t.unpersist(blocking = false)
-    out
+    // result frame; the finally releases it on ANY exit — a mid-job
+    // failure must not pin the token cache for the rest of the session
+    elected.localCheckpoint()
+    } finally t.unpersist(blocking = false)
   }
 }

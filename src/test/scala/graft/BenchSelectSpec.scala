@@ -59,4 +59,16 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(Bench.selectEfficiency(Nil, Seq(50.0, 51.0), 0.9) === ((0.9, -1.0)))
     assert(Bench.selectEfficiency(Nil, Nil, -1.0) === ((-1.0, -1.0)))
   }
+
+  test("invalid-only run headlines -1, never a physically-impossible value") {
+    // bench_r4s: the run's ONLY pair straddled a phase flip (1.101) and
+    // the minima equal it — the headline must report unmeasured (-1)
+    // with the raw values left visible in the pair/minima/rounds fields
+    val (headline, pair) =
+      Bench.selectEfficiency(Seq((1.2, 1.101, 1)), Seq(66.5), 1.101)
+    assert(headline === -1.0)
+    assert(pair === 1.101)
+    // zero pairs + cross-config minima reading super-linear: same clamp
+    assert(Bench.selectEfficiency(Nil, Seq(50.0, 51.0), 1.4)._1 === -1.0)
+  }
 }
