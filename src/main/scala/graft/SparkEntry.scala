@@ -630,7 +630,7 @@ object SparkEntry {
     // T4 + the reference's warnings trail, `pipeline.py:2799-2801`):
     // payloads that EXCEED the tokenizers' hard caps — MaxRuns+10 pdf
     // run lines, MaxBlocks+5 html paragraphs — on a sparse doc subset
-    // (doc_id % 101 = 0), verifying the caps fire at exactly the cap,
+    // (doc_id % 29 = 0), verifying the caps fire at exactly the cap,
     // the conservative `truncated` flag raises, pdf confidence degrades
     // to the parsed fraction, and the kept prefix is byte-exact. The
     // output is closed-form AGGREGATES (counts + text/span length sums,
@@ -641,7 +641,7 @@ object SparkEntry {
       import graft.expressions.{HtmlBlocks, PdfGlyphRuns}
       val docs = spread(s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id")
-        .filter(pmod(col("doc_id"), lit(101)) === 0))
+        .filter(pmod(col("doc_id"), lit(29)) === 0))
       val did = col("doc_id")
       val R = PdfGlyphRuns.MaxRuns
       val B = HtmlBlocks.MaxBlocks
@@ -1180,7 +1180,7 @@ object SparkEntry {
       // separators); span widths are the token-length sums
       "x22_truncation_lineage" ->
         """WITH d AS (
-             SELECT doc_id FROM documents WHERE doc_id % 101 = 0),
+             SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
            pw AS (
              SELECT d.doc_id,
                CAST(SUM(1 + length(CAST((d.doc_id*7 + g.i) % 1000

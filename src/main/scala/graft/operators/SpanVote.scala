@@ -64,6 +64,9 @@ object SpanVote {
 
     val a = cells(t).as("a")
     val b = cells(t).as("b")
+    // duplicate pairs (a pair of spans sharing several grid cells) are
+    // harmless under the min() below — deduplicating them first cost a
+    // full Exchange + aggregate of the LARGEST frame in the job
     val pairs = a.join(b,
         col("a.row_id") === col("b.row_id") &&
           col("a.cell") === col("b.cell") &&
@@ -74,7 +77,6 @@ object SpanVote {
           .as("me"),
         struct(col("b.start"), col("b.end"), col("b.engine"), col("b.text"))
           .as("partner"))
-      .dropDuplicates("row_id", "me", "partner")
 
     // representative = minimal overlapping token (self always qualifies
     // at IoU 1.0) — the greedy cluster anchor
@@ -86,27 +88,40 @@ object SpanVote {
         t("row_id") === reps("row_id") && ident === col("me"))
       .select(t("row_id"), col("rep"), col("text"), col("conf"))
 
-    val variants = clustered
-      .groupBy(col("row_id"), col("rep"), col("text"))
-      .agg(count(lit(1)).as("votes"), sum(col("conf")).as("conf_sum"))
-    // Election as ONE hash aggregate: within a cluster the weighted
-    // score conf_sum/cluster_size shares the cluster_size denominator,
-    // so argmax(score) ≡ argmax(conf_sum); min_by over
-    // (-conf_sum, text) keeps the lexicographically-first tie-break.
-    // (The earlier two-window form re-sorted every cluster partition —
-    // a whole extra sort after the Exchange for an argmax.)
-    val elected = variants
+    // ONE aggregation per cluster (collect the members), then the whole
+    // election — per-variant (votes, Σconf) and the argmax — runs inside
+    // the row over the SMALL cluster array (bounded by engines ×
+    // overlapping spans, never by corpus size). The earlier two-level
+    // groupBy (variants, then argmax) paid a second Exchange of the
+    // near-token-count variants frame just to combine rows that were
+    // already co-located. Within a cluster the weighted score
+    // conf_sum/cluster_size shares the denominator, so argmax(score) ≡
+    // argmax(conf_sum); sorting by (-conf_sum, text) keeps the
+    // lexicographically-first tie-break.
+    val members = col("members")
+    val texts = array_distinct(transform(members, m => m.getField("text")))
+    val stats = transform(texts, tx => struct(
+      tx.as("text"),
+      size(filter(members, m => m.getField("text") === tx)).as("votes"),
+      aggregate(filter(members, m => m.getField("text") === tx),
+        lit(0.0), (acc, m) => acc + m.getField("conf")).as("conf_sum")))
+    val winner = element_at(array_sort(stats, (l, r) =>
+      when(l.getField("conf_sum") > r.getField("conf_sum"), -1)
+        .when(l.getField("conf_sum") < r.getField("conf_sum"), 1)
+        .when(l.getField("text") < r.getField("text"), -1)
+        .when(l.getField("text") > r.getField("text"), 1)
+        .otherwise(0)), 1)
+
+    val elected = clustered
       .groupBy(col("row_id"), col("rep"))
-      .agg(
-        sum(col("votes")).as("cluster_size"),
-        min_by(struct(col("text"), col("votes"), col("conf_sum")),
-          struct((-col("conf_sum")).as("nc"), col("text"))).as("w"))
+      .agg(collect_list(struct(col("text"), col("conf"))).as("members"))
+      .select(col("row_id"), col("rep"), winner.as("w"), size(members).as("n"))
       .select(col("row_id"),
         col("rep.start").as("start"), col("rep.end").as("end"),
         col("w.text").as("text"),
-        round(col("w.conf_sum") / col("cluster_size"), 6).as("score"),
-        col("w.votes").as("votes"),
-        col("cluster_size").cast("int").as("cluster_size"))
+        round(col("w.conf_sum") / col("n"), 6).as("score"),
+        col("w.votes").cast("long").as("votes"),
+        col("n").as("cluster_size"))
     // eager: materializes the elected rows while `t` is cached, so the
     // token cache can be released before returning the (lazy-consumed)
     // result frame; the finally releases it on ANY exit — a mid-job
