@@ -51,7 +51,9 @@ object SpanVote {
       grid: Int = 16): DataFrame = {
     val ident = struct(col("start"), col("end"), col("engine"), col("text"))
     val t = tokens.select(col("row_id"), col("engine"), col("text"),
-      col("conf").cast("double").as("conf"),
+      // null conf contributes 0 to the weighted sum (the aggregate()
+      // election would otherwise null-poison where sum() skipped)
+      coalesce(col("conf").cast("double"), lit(0.0)).as("conf"),
       col("start").cast("int").as("start"), col("end").cast("int").as("end"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
