@@ -32,6 +32,16 @@ class SpanVoteSpec extends SparkSpecBase {
     assert(math.abs(out.head.getAs[Double]("score") - 0.7) < 1e-9)
   }
 
+  test("equal-confidence tie elects the lexicographically first variant") {
+    // the reference's Python max over dict order is not portable; the
+    // election pins a total order: argmax conf_sum, ties by text ASC
+    val out = SpanVote.vote(toks(
+      ("r", "a", "zzz", 0.7, 0, 3),
+      ("r", "b", "aaa", 0.7, 0, 3))).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("text") === "aaa")
+  }
+
   test("disjoint spans stay in separate clusters; rows never mix") {
     val out = SpanVote.vote(toks(
       ("r1", "a", "aa", 0.9, 0, 2),
