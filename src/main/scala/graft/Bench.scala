@@ -447,20 +447,15 @@ object Bench {
       val tps1 = derive(sec1)(turnsAnchor / sec1)
       val tpsN = derive(secN)(turns4N / secN)
       val tps4N = derive(sec4N)(turns4N / sec4N)
-      // Scaling efficiency comes from a SAME-ROUND pair — same job, same
-      // input, same host phase (the r3 trials showed cross-round minima
-      // silently mix phases: a narrow run from a degraded window against
-      // a wide run from a healthy one read 1.4, meaningless). Each round
-      // runs wide / narrow / wide; the narrow pairs with the FASTEST of
-      // its round's wides — interference only ever INFLATES a
-      // measurement, so among repeated same-round measurements of the
-      // same config the minimum is the cleanest same-phase partner (the
-      // protocol's min-per-config principle; the wides' disagreement
-      // stays visible in the per-sample log, exposing mid-round drift —
-      // the r4c trial's wides read 47 vs 57 s around one narrow). Among
-      // complete rounds, take the one with the cleanest brackets
-      // (pre-registered interference criterion, not outcome-based);
-      // minima-based only as fallback.
+      // Per-round pairs: each narrow pairs with the FASTEST wide of its
+      // OWN round — interference only ever INFLATES a measurement, so
+      // among repeated same-round measurements of one config the
+      // minimum is the cleanest same-phase partner; the wides'
+      // disagreement stays visible in the per-sample log (the r4c
+      // trial's wides read 47 vs 57 s around one narrow). Which number
+      // HEADLINES — the stable-narrow min-per-config capacity ratio vs
+      // the cleanest-bracket round's pair — is decided by
+      // [[selectEfficiency]] (full rationale there).
       val roundPairs = samples.groupBy(_._7).toSeq
         .sortBy(_._1).flatMap { case (r, ss) =>
           val narrowOpt = ss.find(s => s._1 == n && s._2 == big)
