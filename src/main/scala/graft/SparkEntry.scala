@@ -556,13 +556,23 @@ object SparkEntry {
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val last5 = w.rowsBetween(-4, Window.currentRow)
       val dec = col("value").cast("decimal(18,6)")
+      // binary round = floor(x·10⁶ + ½)/10⁶, DuckDB's ROUND on DOUBLE.
+      // The quotient doubles here are bit-identical across engines (the
+      // DECIMAL sums are exact), but money-like values routinely land
+      // the quotient a hair BELOW a decimal .…5 boundary whose shortest
+      // decimal repr reads exactly …5 — Spark's BigDecimal HALF_UP then
+      // rounds up while DuckDB's binary round rounds down (observed:
+      // 49.1603125 → 49.160313 vs 49.160312 at sf0.1). Rounding the
+      // BINARY value on both sides removes the divergence class.
+      def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * lit(1000000) + lit(0.5)).cast("double") / lit(1000000)
       ev.select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value"),
           count(lit(1)).over(run).as("n_seen"),
-          round(sum(dec).over(run).cast("double")
-            / count(lit(1)).over(run), 6).as("running_avg"),
-          round(sum(dec).over(last5).cast("double")
-            / count(lit(1)).over(last5), 6).as("rolling_avg5"))
+          roundB(sum(dec).over(run).cast("double")
+            / count(lit(1)).over(run)).as("running_avg"),
+          roundB(sum(dec).over(last5).cast("double")
+            / count(lit(1)).over(last5)).as("rolling_avg5"))
         .orderBy("event_id")
     }),
 
@@ -895,8 +905,13 @@ object SparkEntry {
     * (x*, m*, t03/t04/t08 — approx/hash-dependent) → rows-only check.
     */
   def oracleSql: Map[String, String] = {
+    // x is cast to DOUBLE so products are EXACT (f32×f32 is exactly
+    // representable in f64, matching VecDot's double accumulation);
+    // without it DuckDB multiplies in float32 and the ~1e-8 product
+    // error flips isolated round(…,6) boundary rows at sf0.1 (observed:
+    // 2 of 8841 cos values off by the 6th digit)
     val flat =
-      "SELECT vec_id, generate_subscripts(embedding,1) AS i, unnest(embedding) AS x FROM embeddings"
+      "SELECT vec_id, generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
     Map(
       "x05_field_extract" ->
         graft.operators.FieldExtract.oracle(graft.gen.BillGen.billSql),
