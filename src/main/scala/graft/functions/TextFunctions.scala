@@ -75,11 +75,23 @@ object TextFunctions {
       translate(w, ConfusablesFrom, ConfusablesTo))
       .otherwise(w)
 
-  /** Plain-text path: whitespace collapse + numeric-context char correction.
-    * split on \s+ of the trimmed text, per-token gated translate, rejoin —
-    * higher-order `transform` over the token array, fully codegen-friendly.
+  /** Plain-text path: whitespace collapse + numeric-context char
+    * correction — native single pass
+    * ([[graft.expressions.PlainNormalize]]; this is the extraction job's
+    * hot stage: every plain/tooljson turn and every τ-ladder fallback
+    * pays it, and the declarative form spent 3.1 of a 4.0 s full-Extract
+    * pass in per-token regex work). The declarative pipeline is kept
+    * below as the cross-checked spec twin.
     */
-  def plainNormalize(text: Column): Column = {
+  def plainNormalize(text: Column): Column =
+    when(isBlank(text), lit(""))
+      .otherwise(column(graft.expressions.PlainNormalize(expr(text))))
+
+  /** declarative spec form of [[plainNormalize]] (equivalence-tested in
+    * FunctionsSpec): split on \s+ of the trimmed text, per-token gated
+    * translate, rejoin — higher-order `transform` over the token array.
+    */
+  def plainNormalizeDeclarative(text: Column): Column = {
     val trimmed = regexp_replace(regexp_replace(text, "\\A\\s+", ""), "\\s+\\z", "")
     when(isBlank(text), lit(""))
       .otherwise(array_join(transform(split(trimmed, "\\s+"), w => correctToken(w)), " "))

@@ -53,6 +53,21 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got === "the 123 quick brown 299")
   }
 
+  test("native plainNormalize equals the declarative spec twin") {
+    // hand edges: blank classes, Java \\s whitespace variants, unicode,
+    // all-confusable-no-digit, windows newlines, empty string
+    val edges = Seq("", "   ", "\t\n\f\r", "ab", "ab  c",
+      " l23  O5 ", "bog BOG", "m\u00fcnchen  Z99", "x\r\ny", "|||", "1|l",
+      " l23 ", "a  b   c", "l23 O5", "01", "a\u0001b  c", "\u0001")
+    val prop = (0 until 400).map(i =>
+      s"w$i ${"l2" + i}  ${if (i % 3 == 0) "\t" else " "}x${i % 7}")
+    val df = (edges ++ prop).toDF("t").select(
+      plainNormalize(col("t")).as("nat"),
+      plainNormalizeDeclarative(col("t")).as("dec"))
+    val bad = df.filter(not(col("nat") <=> col("dec"))).collect()
+    assert(bad.isEmpty, s"native/declarative diverge: ${bad.take(3).mkString}")
+  }
+
   test("wholeSpan covers trimmed region; empty for blank") {
     val df = Seq("  abc  ", "x", "   ", "").toDF("t")
       .select(wholeSpan(col("t")).as("s"))
