@@ -564,8 +564,14 @@ object SparkEntry {
       // rounds up while DuckDB's binary round rounds down (observed:
       // 49.1603125 → 49.160313 vs 49.160312 at sf0.1). Rounding the
       // BINARY value on both sides removes the divergence class.
-      def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        floor(c * lit(1000000) + lit(0.5)).cast("double") / lit(1000000)
+      // half-AWAY-FROM-ZERO like DuckDB (plain floor(x+.5) diverges for
+      // negatives: round(-49.1603125,6) is -49.160313 there); the events
+      // fixture is non-negative but the helper must not bake that in
+      def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val scaled = c * lit(1000000)
+        when(c >= 0, floor(scaled + lit(0.5)))
+          .otherwise(-floor(-scaled + lit(0.5))).cast("double") / lit(1000000)
+      }
       ev.select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value"),
           count(lit(1)).over(run).as("n_seen"),

@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are IDENTICAL to the declarative pipeline, kept as
   * [[graft.functions.TextFunctions.plainNormalizeDeclarative]] and
-  * cross-checked in FunctionsSpec (hand cases + ScalaCheck equivalence):
+  * cross-checked in FunctionsSpec (hand edge cases + a ScalaCheck
+  * equivalence property over confusables/whitespace/control/unicode
+  * alphabets):
   * tokens = Java-regex `\s+` split of the `\A\s+`/`\s+\z`-trimmed text
   * (an all-whitespace remainder yields one empty token, matching Spark
   * split's limit -1); a token rewrites through the confusables map
@@ -47,37 +49,43 @@ case class PlainNormalize(child: Expression) extends UnaryExpression {
 
 object PlainNormalize {
 
-  // java.util.regex \s == the Java-regex \s Spark's regexp_replace/split
-  // use (NOT Unicode whitespace) — same hoisted patterns as TokenSpans
-  private val WS = java.util.regex.Pattern.compile("\\s+")
-  private val LeadWS = java.util.regex.Pattern.compile("\\A\\s+")
-  private val TrailWS = java.util.regex.Pattern.compile("\\s+\\z")
-
-  /** confusables map (TextFunctions.ConfusablesFrom/To) */
-  private def mapChar(c: Char): Char = c match {
-    case 'l' | 'I' | '|' => '1'
-    case 'O' | 'o' => '0'
-    case 'Z' | 'z' => '2'
-    case 'S' | 's' => '5'
-    case 'G' => '6'
-    case 'g' => '9'
-    case 'B' | 'b' => '8'
-    case other => other
+  // lookup tables DERIVED from the single-source constant strings in
+  // TextFunctions (the module's stated rule: expressions and DuckDB
+  // twins generate from the same tables so they cannot drift); lazy so
+  // the two objects' mutual reference cannot deadlock initialization
+  private lazy val mapTable: Array[Char] = {
+    val from = graft.functions.TextFunctions.ConfusablesFrom
+    val to = graft.functions.TextFunctions.ConfusablesTo
+    val t = Array.tabulate(128)(_.toChar)
+    var i = 0
+    while (i < from.length) { t(from.charAt(i)) = to.charAt(i); i += 1 }
+    t
   }
 
-  /** membership in the non-digit part of `[0-9lIoOzZsSgGbB|]` */
-  private def confusable(c: Char): Boolean = c match {
-    case 'l' | 'I' | '|' | 'O' | 'o' | 'Z' | 'z' | 'S' | 's' | 'G' | 'g' |
-        'B' | 'b' => true
-    case _ => false
+  /** membership in `[0-9lIoOzZsSgGbB|]` (digits + ConfusablesFrom —
+    * the NumTokenRe character class by construction)
+    */
+  private lazy val gateTable: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    var c = '0'
+    while (c <= '9') { t(c) = true; c = (c + 1).toChar }
+    graft.functions.TextFunctions.ConfusablesFrom.foreach(ch => t(ch) = true)
+    t
   }
+
+  private def mapChar(c: Char): Char =
+    if (c < 128) mapTable(c) else c
+
+  /** gate-class membership; the eval loop handles digits before calling
+    * this, so it reduces to the table lookup
+    */
+  private def confusable(c: Char): Boolean =
+    c < 128 && gateTable(c)
 
   /** static eval shared by interpreted and generated code paths */
   def evalUtf8(input: UTF8String): UTF8String = {
-    val s0 = input.toString
-    val s1 = LeadWS.matcher(s0).replaceFirst("")
-    val s = TrailWS.matcher(s1).replaceFirst("")
-    val toks = WS.split(s, -1) // "" → [""], matching Spark split semantics
+    val s = TokenSpans.trimJavaWs(input.toString)
+    val toks = TokenSpans.splitJavaWs(s)
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < toks.length) {

@@ -57,13 +57,22 @@ object TokenSpans {
   private val LeadWS = java.util.regex.Pattern.compile("\\A\\s+")
   private val TrailWS = java.util.regex.Pattern.compile("\\s+\\z")
 
+  /** `\A\s+`/`\s+\z` trim with Java-regex `\s` (== what Spark's
+    * regexp_replace uses, NOT Unicode whitespace) — the load-bearing
+    * trim semantics shared by [[TokenSpans]] and [[PlainNormalize]]
+    */
+  def trimJavaWs(s: String): String =
+    TrailWS.matcher(LeadWS.matcher(s).replaceFirst("")).replaceFirst("")
+
+  /** `\s+` split with limit -1 ("" → [""], matching Spark split) —
+    * shared with [[PlainNormalize]] for the same reason
+    */
+  def splitJavaWs(s: String): Array[String] = WS.split(s, -1)
+
   /** static eval shared by interpreted and generated code paths */
   def evalUtf8(input: UTF8String): ArrayData = {
-    // java.util.regex \s == the Java-regex \s Spark's regexp_replace uses
-    val s0 = input.toString
-    val s1 = LeadWS.matcher(s0).replaceFirst("")
-    val s = TrailWS.matcher(s1).replaceFirst("")
-    val toks = WS.split(s, -1) // "" → [""], matching Spark split semantics
+    val s = trimJavaWs(input.toString)
+    val toks = splitJavaWs(s)
     val out = new Array[Any](toks.length)
     var off = 0
     var i = 0

@@ -59,8 +59,19 @@ class FunctionsSpec extends SparkSpecBase {
     val edges = Seq("", "   ", "\t\n\f\r", "ab", "ab  c",
       " l23  O5 ", "bog BOG", "m\u00fcnchen  Z99", "x\r\ny", "|||", "1|l",
       " l23 ", "a  b   c", "l23 O5", "01", "a\u0001b  c", "\u0001")
-    val prop = (0 until 400).map(i =>
-      s"w$i ${"l2" + i}  ${if (i % 3 == 0) "\t" else " "}x${i % 7}")
+    // ScalaCheck property: arbitrary strings over the alphabets that
+    // exercise the gate and the whitespace machinery — confusables,
+    // digits, plain letters, every Java \s char, controls, unicode
+    import org.scalacheck.{Gen, rng}
+    val alpha = Gen.oneOf(
+      Gen.oneOf("lI|OoZzSsGgBb".toSeq).map(_.toString),
+      Gen.numChar.map(_.toString),
+      Gen.alphaChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "\u000b", "\f", "\r"),
+      Gen.oneOf("\u0001", "\u001f", "\u00fc", "\u4e2d"))
+    val anyStr = Gen.listOf(alpha).map(_.mkString)
+    val prop = (0 until 400).flatMap(i =>
+      anyStr(Gen.Parameters.default.withSize(30), rng.Seed(1000L + i)))
     val df = (edges ++ prop).toDF("t").select(
       plainNormalize(col("t")).as("nat"),
       plainNormalizeDeclarative(col("t")).as("dec"))
