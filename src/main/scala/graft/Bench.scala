@@ -213,11 +213,15 @@ object Bench {
     // the headline NEVER reports a value the 1.05 bound declares
     // physically impossible — an invalid-only run headlines -1
     // ("unmeasured", the artifact contract) with the raw values still
-    // visible in efficiency_pair / efficiency_minima / efficiency_rounds
+    // visible in efficiency_pair / efficiency_minima / efficiency_rounds.
+    // The minima ratio is ONLY eligible behind the stable-narrow gate:
+    // with no valid pair AND an unstable narrow, both estimators'
+    // overstatement channels are open, so the run headlines -1 rather
+    // than an unaudited minima (round-5 fix — the earlier last-resort
+    // minima branch bypassed the precondition the gate exists for).
     val headline =
       if (narrowStable && effMinima >= 0 && effMinima <= 1.05) effMinima
       else if (effPair >= 0 && effPair <= 1.05) effPair
-      else if (effMinima >= 0 && effMinima <= 1.05) effMinima
       else -1.0
     (headline, effPair)
   }

@@ -41,6 +41,84 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Binary 6-digit round = floor(x·10⁶ + ½)/10⁶ half-away-from-zero —
+    * exactly DuckDB's ROUND on DOUBLE. Used when a query's double is
+    * bit-identical across engines but sits a hair below a decimal .…5
+    * boundary whose SHORTEST repr reads exactly …5: Spark's
+    * BigDecimal-HALF_UP `round()` then rounds up while DuckDB's binary
+    * round rounds down (observed on x18 money-like quotients at sf0.1:
+    * 49.1603125 → 49.160313 vs 49.160312). Rounding the BINARY value on
+    * both sides removes the divergence class; the negate-floor-negate
+    * arm keeps away-from-zero semantics for negatives (plain
+    * floor(x+.5) would diverge there).
+    */
+  private def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scaled = c * lit(1000000)
+    when(c >= 0, floor(scaled + lit(0.5)))
+      .otherwise(-floor(-scaled + lit(0.5))).cast("double") / lit(1000000)
+  }
+
+  /** Hard bound on any driver-side validation collect (x06): the
+    * reference calibrates on a tens-of-documents validation slice
+    * (`pipeline.py:223-245`), and at 100 TB you calibrate on a sampled
+    * slice, never the corpus — 50k is 10× the current x06 frame (the
+    * limit does not bind today; it exists so the collect can NEVER
+    * scale with the input).
+    */
+  private val ValidationCollectCap = 50000
+
+  /** Fresh scratch output dir for queries that must durably WRITE
+    * (bucketed-job sinks, streaming file sinks) — on tmpfs when
+    * available: the sandbox's single shared /tmp DISK serves other
+    * tenants' I/O storms; a cluster would write to distributed storage,
+    * not one local spindle.
+    *
+    * Stale dirs from PREVIOUS invocations are deleted first — the frame
+    * a query returns reads its new dir lazily, so this run's dir must
+    * outlive the call (cleaned by the next invocation), but RAM-backed
+    * tmpfs must not accumulate across a session. Cleanup is scoped to
+    * THIS process's dirs (PID in the prefix) — a concurrent battery /
+    * verify on the same host must not have its in-flight output deleted
+    * from under it; dirs are reaped by anyone once 30 min old AND their
+    * owning PID is dead (a long-lived session's in-flight output
+    * survives any age).
+    */
+  private def scratchDir(tag: String): String = {
+    val base = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val pidPrefix = s"graft-$tag-${ProcessHandle.current().pid()}-"
+    val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
+    // beyond a day, reap regardless of owner liveness: a recycled PID
+    // (or a legacy dir with no PID segment, which the regex cannot
+    // match) must not pin RAM-backed tmpfs forever
+    val veryStaleMs = System.currentTimeMillis() - 24L * 3600 * 1000
+    def ownerDead(name: String): Boolean =
+      s"graft-$tag-(\\d+)-".r.findFirstMatchIn(name) match {
+        case Some(m) =>
+          try !ProcessHandle.of(m.group(1).toLong)
+            .map[Boolean](_.isAlive).orElse(false)
+          catch { case _: Throwable => false }
+        // no parseable owner (pre-PID-prefix format): a 30-min-old
+        // such dir cannot be a live PID-scoped process's output
+        case None => true
+      }
+    Option(base.toFile.listFiles())
+      .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
+        (d.getName.startsWith(s"graft-$tag-") &&
+          d.lastModified() < staleMs &&
+          (ownerDead(d.getName) || d.lastModified() < veryStaleMs)))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(d)
+        })
+    java.nio.file.Files.createTempDirectory(base, pidPrefix).toString
+  }
+
   /** shared projection of the extract-core value-oracle queries
     * (x19/x20/x21): Extract output → the DuckDB-comparable flat shape
     * (span structs flattened to a "s:e,…" string, confidence rounded).
@@ -104,51 +182,7 @@ object SparkEntry {
     // the full bucketed job: salted-bucket layout + manifest lineage
     // (returns the per-bucket manifest rows; fresh output dir each run)
     "x03_bucketed_job_manifest" -> ((s, _) => {
-      // scratch output on tmpfs when available: the sandbox's single
-      // shared /tmp DISK serves other tenants' I/O storms; a cluster
-      // would write to distributed storage, not one local spindle.
-      // Stale dirs from PREVIOUS invocations are deleted first — the
-      // frame returned below reads the new dir lazily, so this run's
-      // dir must outlive the call (cleaned by the next invocation),
-      // but RAM-backed tmpfs must not accumulate across a session.
-      // Cleanup is scoped to THIS process's dirs (PID in the prefix) —
-      // a concurrent battery/verify on the same host must not have its
-      // in-flight output deleted from under it; dirs are reaped by
-      // anyone once 30 min old AND their owning PID is dead (a
-      // long-lived session's in-flight output survives any age).
-      val base = {
-        val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      }
-      val pidPrefix = s"graft-x03-${ProcessHandle.current().pid()}-"
-      val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
-      // beyond a day, reap regardless of owner liveness: a recycled PID
-      // (or a legacy dir with no PID segment, which the regex cannot
-      // match) must not pin RAM-backed tmpfs forever
-      val veryStaleMs = System.currentTimeMillis() - 24L * 3600 * 1000
-      def ownerDead(name: String): Boolean =
-        "graft-x03-(\\d+)-".r.findFirstMatchIn(name) match {
-          case Some(m) =>
-            try !ProcessHandle.of(m.group(1).toLong)
-              .map[Boolean](_.isAlive).orElse(false)
-            catch { case _: Throwable => false }
-          // no parseable owner (pre-PID-prefix format): a 30-min-old
-          // such dir cannot be a live PID-scoped process's output
-          case None => true
-        }
-      Option(base.toFile.listFiles())
-        .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
-          (d.getName.startsWith("graft-x03-") &&
-            d.lastModified() < staleMs &&
-            (ownerDead(d.getName) || d.lastModified() < veryStaleMs)))
-          .foreach { d =>
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
-            rm(d)
-          })
-      val out = java.nio.file.Files.createTempDirectory(base, pidPrefix).toString
+      val out = scratchDir("x03")
       graft.plans.ExtractionJob.run(s, TranscriptGen.inputDf(s, 5000L),
           graft.plans.ExtractionJob.Config(out, numBuckets = 16))
         .select("bucket", "turns_processed", "blocks_dropped",
@@ -221,8 +255,11 @@ object SparkEntry {
       // validation set is small BY DESIGN (at 100 TB you calibrate on a
       // sampled slice, never the corpus), so collecting it once and
       // serving both the PAV fit and the output projection from the
-      // local frame is the scale-correct shape, not a shortcut.
-      val rows = joined.collect()
+      // local frame is the scale-correct shape, not a shortcut. The
+      // [[ValidationCollectCap]] bound (round-4 verdict #2) makes the
+      // "small by design" claim structural: the collect can never
+      // scale with the input.
+      val rows = joined.limit(ValidationCollectCap).collect()
       val local = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), joined.schema)
       val models = graft.calibration.Calibration.fit(
@@ -237,11 +274,39 @@ object SparkEntry {
         case (acc, (p, None)) =>
           when(col("path") === p, lit(false)).otherwise(acc)
       }
+      // confidence↔accuracy study columns (round-4 verdict #3; reference
+      // `confidence_analysis.py:59-97` — measured Pearson 0.590 + per-
+      // confidence-bucket accuracy): per-path Pearson corr(conf, correct)
+      // and per-(path, decile-bucket) accuracy, window aggregates over
+      // the same local validation frame. The closed-form DuckDB-oracled
+      // twin of this study is x24_conf_accuracy_sql.
+      // GLOBAL Pearson, like the reference's single measured-vs-claimed
+      // number (0.590): within one path the degradation design makes
+      // either confidence or correctness near-constant (degraded rows
+      // change path), so a per-path split is degenerate by construction
+      // — the confidence↔accuracy signal lives ACROSS the τ-ladder
+      // outcomes. Single-partition window is driver-local-frame safe
+      // (the frame is ≤ ValidationCollectCap rows by the bound above).
+      val wp = Window.partitionBy(lit(1))
+      val wb = Window.partitionBy(floor(col("confidence") * 10))
+      // Pearson from guarded moment sums — a zero-variance frame must
+      // yield null, and ANSI mode makes the built-in corr THROW on its
+      // internal /0 there
+      val cd = col("confidence")
+      val yd = col("correct").cast("double")
+      val cn = count(lit(1)).over(wp).cast("double")
+      val d1 = cn * sum(cd * cd).over(wp) - sum(cd).over(wp) * sum(cd).over(wp)
+      val d2 = cn * sum(yd * yd).over(wp) - sum(yd).over(wp) * sum(yd).over(wp)
+      val pathCorr = when(d1 > 0 && d2 > 0, round(
+        (cn * sum(cd * yd).over(wp) - sum(cd).over(wp) * sum(yd).over(wp))
+          / sqrt(d1 * d2), 6))
       local.select(col("conv_id"), col("turn_idx"), col("path"),
           round(col("confidence"), 6).as("confidence"),
           round(graft.calibration.Calibration.applyCol(
             col("confidence"), col("path"), models), 6).as("calibrated"),
-          col("correct"), meets.as("meets_accept"))
+          col("correct"), meets.as("meets_accept"),
+          pathCorr.as("pearson_corr"),
+          round(avg(yd).over(wb), 6).as("bucket_accuracy"))
         .orderBy("conv_id", "turn_idx")
     }),
 
@@ -556,22 +621,6 @@ object SparkEntry {
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val last5 = w.rowsBetween(-4, Window.currentRow)
       val dec = col("value").cast("decimal(18,6)")
-      // binary round = floor(x·10⁶ + ½)/10⁶, DuckDB's ROUND on DOUBLE.
-      // The quotient doubles here are bit-identical across engines (the
-      // DECIMAL sums are exact), but money-like values routinely land
-      // the quotient a hair BELOW a decimal .…5 boundary whose shortest
-      // decimal repr reads exactly …5 — Spark's BigDecimal HALF_UP then
-      // rounds up while DuckDB's binary round rounds down (observed:
-      // 49.1603125 → 49.160313 vs 49.160312 at sf0.1). Rounding the
-      // BINARY value on both sides removes the divergence class.
-      // half-AWAY-FROM-ZERO like DuckDB (plain floor(x+.5) diverges for
-      // negatives: round(-49.1603125,6) is -49.160313 there); the events
-      // fixture is non-negative but the helper must not bake that in
-      def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val scaled = c * lit(1000000)
-        when(c >= 0, floor(scaled + lit(0.5)))
-          .otherwise(-floor(-scaled + lit(0.5))).cast("double") / lit(1000000)
-      }
       ev.select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value"),
           count(lit(1)).over(run).as("n_seen"),
@@ -633,13 +682,22 @@ object SparkEntry {
       val extracted = extractCoreSelect(
         graft.streaming.StreamingExtract(
           graft.gen.HtmlGen.withHtmlPayload(src)))
+      // parquet file sink + read-back (round-4 ADVICE: the memory sink
+      // buffered every extracted row in driver memory, growing with sf
+      // while the rest of the battery stays distributed until the
+      // parquet write; the file sink IS the production shape — stream →
+      // durable table — and its exactly-once manifest is the streaming
+      // twin of the x03 sink)
+      val out = scratchDir("x21")
       val q = extracted.writeStream
-        .format("memory").queryName("graft_x21_stream")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("graft_x21_stream").orderBy("doc_id")
+      s.read.parquet(s"$out/data").orderBy("doc_id")
     }),
 
     // Cap/truncation lineage under the DuckDB value oracle (SURVEY T3/
@@ -692,6 +750,121 @@ object SparkEntry {
             .as("span_len_sum"),
           round(col("confidence"), 6).as("confidence"))
         .orderBy("doc_id", "turn_idx")
+    }),
+
+    // The NORTH-STAR bucketed job under the DuckDB value oracle (SURVEY
+    // S7/S8/T6 — x03 itself stays rows-only because its hash-salted
+    // bucket ids and repo-generated transcripts are not DuckDB-
+    // reproducible): the FULL ExtractionJob.run — salted-bucket
+    // repartition, ONE write-path sort, dynamic-partition-overwrite
+    // parquet sink, manifest lineage aggregate, manifest append +
+    // read-back — over a documents-derived transcript frame with
+    // closed-form payloads (the x19/x20 generators + a blank turn per
+    // doc_id%7 and an over-cap pdf turn per doc_id%29), re-keyed by
+    // `conv_id % numBuckets` so every manifest value has a closed form.
+    // Output per bucket: the manifest lineage row (turns_processed /
+    // blocks_dropped / parser_fallbacks / blank_turns / turns_truncated
+    // / status) JOINED with two read-back columns recomputed from the
+    // DURABLY WRITTEN files — n_rows (the sink persisted every row) and
+    // order_checksum = Σ (file_position+1)·((conv_id·131+turn_idx·7)
+    // mod 10007) via the parquet `_metadata.row_index`, which matches
+    // the oracle's row_number-ordered-by-(conv_id,turn_idx) sum IFF the
+    // physical row order inside every bucket file is the T6 contract
+    // order — a hash-verified stable-output-ordering check, not a
+    // rows-only smoke.
+    "x23_bucketed_job_sql" -> ((s, dir) => {
+      val R = graft.expressions.PdfGlyphRuns.MaxRuns
+      val docs = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id"))
+      val base = graft.gen.HtmlGen.withHtmlPayload(docs) // turn 0: html
+      val did = col("doc_id")
+      // over-cap pdf payload (2·MaxRuns+20 run lines): truncation
+      // lineage stays exercised even with chunked mega-payload
+      // processing bounded at MaxChunks·MaxRuns parsed runs
+      val truncPdf = concat(lit("%PDF-SIM\n"),
+        array_join(transform(sequence(lit(0), lit(2 * R + 19)), i =>
+          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
+            lit(" 12 w"), pmod(did * 7 + i, lit(1000)).cast("string"))),
+          "\n"))
+      val extra = docs.select(did.as("conv_id"),
+          explode(filter(array(
+            struct(lit(1).as("turn_idx"),
+              graft.gen.PdfGen.payloadCol(did).as("text")),
+            struct(lit(2).as("turn_idx"),
+              when(pmod(did, lit(7)) === 0, lit("  \t ")).as("text")),
+            struct(lit(3).as("turn_idx"),
+              when(pmod(did, lit(29)) === 0, truncPdf).as("text"))),
+            t => t.getField("text").isNotNull)).as("e"))
+        .select(col("conv_id"), col("e.turn_idx").as("turn_idx"),
+          lit("user").as("role"), col("e.text").as("text"),
+          lit(null).cast("string").as("tool"))
+      val nb = 16
+      val cfg = graft.plans.ExtractionJob.Config(scratchDir("x23"),
+        numBuckets = nb,
+        bucketExpr = Some(pmod(col("conv_id"), lit(nb)).cast("int")))
+      val manifest = graft.plans.ExtractionJob
+        .run(s, base.unionByName(extra), cfg)
+        .select("bucket", "turns_processed", "blocks_dropped",
+          "parser_fallbacks", "blank_turns", "turns_truncated", "status")
+      val readback = graft.plans.ExtractionJob.output(s, cfg)
+        .select(col("bucket"), col("conv_id"), col("turn_idx"),
+          col("_metadata.row_index").as("ridx"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("ridx") + 1) *
+            pmod(col("conv_id") * 131 + col("turn_idx") * 7, lit(10007)))
+            .as("order_checksum"))
+      manifest.join(readback, Seq("bucket")).orderBy("bucket")
+    }),
+
+    // Pearson confidence↔accuracy study under the DuckDB value oracle
+    // (round-4 verdict #3; reference `confidence_analysis.py:59-97` —
+    // the measured-vs-claimed correlation, 0.590 in the reference's own
+    // study, + per-confidence-bucket accuracy). x06 carries the
+    // engine-label form of the same study (rows-only); here integer
+    // confidence levels xk∈[0,100] and a noisy-monotone label
+    // (P[correct] ramps 10%→90% with xk) derive from doc_id arithmetic,
+    // and the Pearson is computed from exact BIGINT moment sums
+    // ((nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))) instead of the engines'
+    // float corr() aggregates — float moment accumulation is partition-
+    // order dependent; integer moments are exact, and every moment here
+    // fits a double exactly (d1 ≤ 10⁴n², d2 ≤ n²/4, both < 2⁵³), so the
+    // final double arithmetic is bit-identical across engines.
+    "x24_conf_accuracy_sql" -> ((s, dir) => {
+      val did = col("doc_id")
+      val staged = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          element_at(array(lit("html"), lit("pdf"), lit("plain")),
+            pmod(did, lit(3)).cast("int") + 1).as("path"),
+          pmod(did, lit(101)).as("xk"), // confidence·100
+          when(pmod(did * 7919, lit(100)) <
+              lit(10) + floor(pmod(did, lit(101)) * 4 / 5), 1L)
+            .otherwise(0L).as("y"))
+      val m = staged.groupBy("path").agg(
+        count(lit(1)).as("n"), sum(col("xk")).as("sx"),
+        sum(col("xk") * col("xk")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("xk") * col("y")).as("sxy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val d1 = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val d2 = (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      val pathCorr = m.select(col("path"),
+        when(d1 > 0 && d2 > 0, roundB(num / sqrt(d1 * d2)))
+          .as("pearson"))
+      staged.groupBy(col("path"),
+          floor(col("xk") / 10).cast("int").as("conf_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("by"),
+          sum(col("xk")).as("bx"))
+        .join(pathCorr, Seq("path"))
+        .select(col("path"), col("conf_bucket"), col("n"),
+          roundB(col("by").cast("double") / col("n")).as("accuracy"),
+          roundB(col("bx").cast("double") / (col("n") * 100))
+            .as("avg_conf"),
+          col("pearson"))
+        .orderBy("path", "conf_bucket")
     }),
 
     // ================= training-data pipeline ops (documents/embeddings)
@@ -1225,6 +1398,95 @@ object SparkEntry {
              h.wsum + 999, h.wsum, 1.0
            FROM hw h
            ORDER BY doc_id, turn_idx""",
+
+      // the north-star bucketed job's manifest + durable read-back,
+      // per-doc closed forms (html classes doc_id%5: dropped 2 for the
+      // nav class, 1 for nav-only, fallback for classes 3/4; pdf classes
+      // doc_id%4: fallback for 2/3, never a dropped block; one blank
+      // turn per doc_id%7, one truncated over-cap pdf turn per
+      // doc_id%29), re-keyed bucket = doc_id % 16; order_checksum is the
+      // row_number-by-(conv,turn) weighted sum the written files must
+      // reproduce positionally (T6)
+      "x23_bucketed_job_sql" ->
+        """WITH t AS (
+             SELECT doc_id, 0 AS turn_idx FROM documents
+             UNION ALL SELECT doc_id, 1 FROM documents
+             UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 7 = 0
+             UNION ALL SELECT doc_id, 3 FROM documents WHERE doc_id % 29 = 0),
+           ord AS (
+             SELECT doc_id % 16 AS bucket, doc_id, turn_idx,
+               row_number() OVER (PARTITION BY doc_id % 16
+                 ORDER BY doc_id, turn_idx) AS rn
+             FROM t),
+           chk AS (
+             SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(rn * ((doc_id*131 + turn_idx*7) % 10007))
+                 AS BIGINT) AS order_checksum
+             FROM ord GROUP BY bucket),
+           per AS (
+             SELECT doc_id % 16 AS bucket,
+               2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS tp,
+               CASE WHEN doc_id % 5 = 1 THEN 2
+                    WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS dropped,
+               CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS fb,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS bl,
+               CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS tr
+             FROM documents),
+           m AS (
+             SELECT bucket,
+               CAST(SUM(tp) AS BIGINT) AS turns_processed,
+               CAST(SUM(dropped) AS BIGINT) AS blocks_dropped,
+               CAST(SUM(fb) AS BIGINT) AS parser_fallbacks,
+               CAST(SUM(bl) AS BIGINT) AS blank_turns,
+               CAST(SUM(tr) AS BIGINT) AS turns_truncated
+             FROM per GROUP BY bucket)
+           SELECT CAST(m.bucket AS INT) AS bucket, m.turns_processed,
+             m.blocks_dropped, m.parser_fallbacks, m.blank_turns,
+             m.turns_truncated, 'complete' AS status, c.n_rows,
+             c.order_checksum
+           FROM m JOIN chk c USING (bucket)
+           ORDER BY bucket""",
+
+      // confidence↔accuracy: integer moment sums → exact Pearson +
+      // decile-bucket accuracy (twin of the Spark BIGINT moments)
+      "x24_conf_accuracy_sql" ->
+        """WITH s AS (
+             SELECT CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+                 ELSE 'plain' END AS path,
+               doc_id % 101 AS xk,
+               CASE WHEN (doc_id * 7919) % 100 <
+                 10 + floor((doc_id % 101) * 4 / 5)
+                 THEN 1 ELSE 0 END AS y
+             FROM documents),
+           m AS (
+             SELECT path, COUNT(*) AS n, SUM(xk) AS sx,
+               SUM(xk*xk) AS sxx, SUM(y) AS sy, SUM(y*y) AS syy,
+               SUM(xk*y) AS sxy
+             FROM s GROUP BY path),
+           pc AS (
+             SELECT path,
+               CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                 THEN round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                   sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                        CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                 END AS pearson
+             FROM m),
+           b AS (
+             SELECT path, CAST(floor(xk / 10) AS INT) AS conf_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS by_,
+               CAST(SUM(xk) AS BIGINT) AS bx
+             FROM s GROUP BY 1, 2)
+           SELECT b.path, b.conf_bucket, b.n,
+             round(CAST(by_ AS DOUBLE) / b.n, 6) AS accuracy,
+             round(CAST(bx AS DOUBLE) / (b.n * 100), 6) AS avg_conf,
+             pc.pearson
+           FROM b JOIN pc USING (path)
+           ORDER BY path, conf_bucket""",
 
       // SQL-surface counts: closed-form block/run totals per payload
       // class (HtmlGen §classes: k / k+2 / k+3 / 1 / 1; PdfGen: class 1

@@ -56,7 +56,8 @@ object HtmlBlocks {
     val blocks = tokenize(input.toString)
     new GenericArrayData(blocks.map { b =>
       InternalRow(UTF8String.fromString(b.text), b.start, b.end,
-        b.words, b.linkWords, b.boiler, b.cwords, b.clinkWords, b.cmaxWords)
+        b.words, b.linkWords, b.boiler, b.cwords, b.clinkWords, b.cmaxWords,
+        b.capCursor)
     }.toArray[Any])
   }
 
@@ -69,13 +70,23 @@ object HtmlBlocks {
     StructField("boiler", BooleanType, nullable = false),
     StructField("cwords", IntegerType, nullable = false),
     StructField("clink_words", IntegerType, nullable = false),
-    StructField("cmax_words", IntegerType, nullable = false)))
+    StructField("cmax_words", IntegerType, nullable = false),
+    // raw cursor position where tokenization STOPPED because the
+    // MaxBlocks cap fired, carried on the LAST block (-1 everywhere
+    // else, and everywhere when the cap never fired): downstream
+    // truncation lineage tests "non-whitespace material beyond the
+    // cursor", the direct form of "content may have been dropped" —
+    // round-4 verdict #6 (the earlier last-block-end heuristic both
+    // over-flagged a cap-full parse that consumed the whole document
+    // and could not name where the scan stopped)
+    StructField("cap_cursor", IntegerType, nullable = false)))
 
   val outType: DataType = ArrayType(blockStruct, containsNull = false)
 
   final case class Block(text: String, start: Int, end: Int,
       words: Int, linkWords: Int, boiler: Boolean,
-      var cwords: Int = 0, var clinkWords: Int = 0, var cmaxWords: Int = 0)
+      var cwords: Int = 0, var clinkWords: Int = 0, var cmaxWords: Int = 0,
+      var capCursor: Int = -1)
 
   /** tags that terminate the current text block */
   private val blockTags: Set[String] = Set(
@@ -282,6 +293,10 @@ object HtmlBlocks {
     }
     if (emitted < MaxBlocks) flush()
     val blocks = out.result()
+    // cap fired: record where the scan stopped on the last block (i == n
+    // means the cap coincided with the end of input — nothing dropped,
+    // which the <n comparison downstream distinguishes from a real stop)
+    if (emitted == MaxBlocks && blocks.nonEmpty) blocks.last.capCursor = i
     // Readability-style container totals: per nearest container subtree,
     // sum the words/link-words of its NON-boiler blocks (boiler content
     // must not rescue its neighbors), then annotate every block

@@ -13,7 +13,14 @@ object TextFunctions {
 
   // Shared pattern/constant tables — the Spark expressions AND the DuckDB
   // SQL twins below are generated from these, so they cannot drift.
-  // Everything stays in the Java-regex ∩ RE2 subset.
+  // Everything stays in the Java-regex ∩ RE2 subset, with ONE known
+  // inexactness: `\s` itself — Java's \s is [ \t\n\x0B\f\r] while RE2's
+  // is [ \t\n\f\r] (no vertical tab), so a payload containing \x0B would
+  // diverge between the engines. Accepted deliberately: \x0B never occurs
+  // in the generators or fixtures, Java's semantics are the engine's
+  // contract (the DuckDB twins exist to check the engine, not vice
+  // versa), and spelling [ \t\n\f\r\x0B] at every \s site would make the
+  // dozen patterns below unreadable for a latent-only divergence.
   val BlankRe = "\\A[\\s\\x00-\\x1F]*\\z"
   val PdfSniffRe = "(?s)\\A\\s*(?:<[^>]{0,200}>\\s*)?%PDF-"
   val HtmlSniffRe = "(?is)\\A\\s*<(!doctype|!--|[a-z][a-z0-9]*[\\s>/])"

@@ -31,10 +31,17 @@ import graft.operators.Extract
   */
 object ExtractionJob {
 
+  /** @param bucketExpr overrides the salted-hash bucket key (e.g. a
+    *   modulo key for an oracle-reproducible layout, or a date-derived
+    *   key for time-partitioned reruns); must be deterministic in the
+    *   input row — resume identity depends on the same row mapping to
+    *   the same bucket across runs. Default: [[bucketCol]].
+    */
   case class Config(
       outDir: String,
       numBuckets: Int = 32,
-      saltChunk: Int = 4096)
+      saltChunk: Int = 4096,
+      bucketExpr: Option[org.apache.spark.sql.Column] = None)
 
   /** salted bucket id: hash(conv_id, turn_idx / saltChunk) mod numBuckets */
   def bucketCol(numBuckets: Int, saltChunk: Int) =
@@ -72,9 +79,9 @@ object ExtractionJob {
   def run(spark: SparkSession, input: DataFrame, cfg: Config,
       onlyBuckets: Option[Seq[Int]] = None): DataFrame = {
     val t0 = System.currentTimeMillis()
+    val bExpr = cfg.bucketExpr.getOrElse(bucketCol(cfg.numBuckets, cfg.saltChunk))
 
-    val bucketed = input
-      .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
+    val bucketed = input.withColumn("bucket", bExpr)
 
     // EAGER snapshot of completed bucket ids (≤ numBuckets): a lazy
     // manifest read here is re-evaluated after this run's own writes
@@ -91,9 +98,18 @@ object ExtractionJob {
     }
 
     val extracted = Extract(todo.drop("bucket"))
-      .withColumn("bucket", bucketCol(cfg.numBuckets, cfg.saltChunk))
+      .withColumn("bucket", bExpr)
       .repartition(cfg.numBuckets, col("bucket"))
-      .sortWithinPartitions("conv_id", "turn_idx")
+      // bucket LEADS the sort key: the dynamic-partition file writer
+      // requires rows ordered by the partition columns and would insert
+      // its OWN whole-partition sort (by bucket alone) when the child
+      // ordering doesn't satisfy it — a second full sort of every
+      // partition, and per-(conv) row order would then hang on that
+      // sort's stability. Sorting (bucket, conv_id, turn_idx) here
+      // satisfies the writer's requirement prefix-wise (ONE sort total)
+      // and keeps the T6 contract: within every bucket file, rows are
+      // in (conv_id, turn_idx) order.
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
       // cached across the write + the manifest aggregate: the extraction
       // is computed ONCE and the metrics pass reads local cache blocks
       // instead of re-scanning the entire written table (round-1 fix —

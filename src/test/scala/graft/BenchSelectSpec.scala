@@ -55,9 +55,20 @@ class BenchSelectSpec extends AnyFunSuite {
     assert(pair === 0.608)
   }
 
-  test("no pairs at all: minima is the last resort, -1 stays -1") {
+  test("no pairs at all: STABLE-narrow minima is the last resort, -1 stays -1") {
     assert(Bench.selectEfficiency(Nil, Seq(50.0, 51.0), 0.9) === ((0.9, -1.0)))
     assert(Bench.selectEfficiency(Nil, Nil, -1.0) === ((-1.0, -1.0)))
+  }
+
+  test("no valid pair + unstable narrow: headline is -1, never the minima") {
+    // round-5 fix (round-4 ADVICE): the minima ratio is only meaningful
+    // behind the stable-narrow precondition — an inflated narrow minimum
+    // inflates the ratio, and with no valid pair either, the run has no
+    // audited estimator left. It must report unmeasured.
+    assert(Bench.selectEfficiency(Nil, Seq(50.0, 70.0), 0.9)._1 === -1.0)
+    // same with only an invalid (>1.05) pair present
+    assert(Bench.selectEfficiency(
+      Seq((1.2, 1.101, 1)), Seq(50.0, 70.0), 0.9)._1 === -1.0)
   }
 
   test("invalid-only run headlines -1, never a physically-impossible value") {
