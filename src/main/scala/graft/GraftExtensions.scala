@@ -34,8 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pdf_glyph_runs"),
       info("pdf_glyph_runs",
-        "pdf_glyph_runs(text) - parses glyph-run payloads into line-clustered runs with spans"),
-      (children: Seq[Expression]) => PdfGlyphRuns(children.head)))
+        "pdf_glyph_runs(text[, chunk]) - parses glyph-run payloads into line-clustered runs with spans; chunk selects a MaxRuns-sized window for chunked mega-payload processing"),
+      (children: Seq[Expression]) =>
+        if (children.length >= 2) PdfGlyphRuns(children.head, children(1))
+        else PdfGlyphRuns(children.head)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot",

@@ -701,12 +701,15 @@ object SparkEntry {
     }),
 
     // Cap/truncation lineage under the DuckDB value oracle (SURVEY T3/
-    // T4 + the reference's warnings trail, `pipeline.py:2799-2801`):
-    // payloads that EXCEED the tokenizers' hard caps — MaxRuns+10 pdf
-    // run lines, MaxBlocks+5 html paragraphs — on a sparse doc subset
-    // (doc_id % 29 = 0), verifying the caps fire at exactly the cap,
-    // the conservative `truncated` flag raises, pdf confidence degrades
-    // to the parsed fraction, and the kept prefix is byte-exact. The
+    // T4 + G9 chunked processing + the reference's warnings trail,
+    // `pipeline.py:2799-2801`): three hostile classes on a sparse doc
+    // subset (doc_id % 29 = 0) — an over-window pdf (MaxRuns+10 run
+    // lines) whose FULL text survives chunked processing un-flagged, an
+    // over-cap html (MaxBlocks+5 paragraphs) that flags from the
+    // tokenizer's cap cursor, and a beyond-chunk-bound pdf
+    // (2·MaxRuns+20) where the flag fires, confidence degrades to the
+    // parsed fraction, and exactly the chunk bound survives
+    // byte-exact. The
     // output is closed-form AGGREGATES (counts + text/span length sums,
     // each a cumulative-arithmetic twin of the x19/x20 span checks) so
     // the oracle recomputes a 100 KB hostile payload's expected result
@@ -719,11 +722,21 @@ object SparkEntry {
       val did = col("doc_id")
       val R = PdfGlyphRuns.MaxRuns
       val B = HtmlBlocks.MaxBlocks
+      // over the single-window cap but inside the chunk bound: the
+      // chunk-processed class — FULL text survives (G9, round-4 verdict
+      // #5), no truncation flag
       val pdfPayload = concat(lit("%PDF-SIM\n"),
         array_join(transform(sequence(lit(0), lit(R + 9)), i =>
           concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
             lit(" 12 w"),
             pmod(did * 7 + i, lit(1000)).cast("string"))), "\n"))
+      // beyond MaxChunks·MaxRuns parsed runs: the flag fires and exactly
+      // the chunk bound survives
+      val megaPayload = concat(lit("%PDF-SIM\n"),
+        array_join(transform(sequence(lit(0), lit(2 * R + 19)), i =>
+          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
+            lit(" 12 m"),
+            pmod(did * 11 + i, lit(1000)).cast("string"))), "\n"))
       val htmlPayload = concat(lit("<html><body>"),
         array_join(transform(sequence(lit(0), lit(B + 4)), i =>
           concat(lit("<p>"),
@@ -736,7 +749,8 @@ object SparkEntry {
       val frame = docs.select(did.as("conv_id"),
           explode(array(
             struct(lit(0).as("turn_idx"), pdfPayload.as("text")),
-            struct(lit(1).as("turn_idx"), htmlPayload.as("text")))).as("e"))
+            struct(lit(1).as("turn_idx"), htmlPayload.as("text")),
+            struct(lit(2).as("turn_idx"), megaPayload.as("text")))).as("e"))
         .select(col("conv_id"), col("e.turn_idx").as("turn_idx"),
           lit("user").as("role"), col("e.text").as("text"),
           lit(null).cast("string").as("tool"))
@@ -1379,7 +1393,12 @@ object SparkEntry {
              SELECT d.doc_id,
                CAST(SUM(1 + length(CAST((d.doc_id*7 + g.i) % 1000
                  AS VARCHAR))) AS INT) AS wsum
-             FROM d, generate_series(0, 4999) g(i) GROUP BY d.doc_id),
+             FROM d, generate_series(0, 5009) g(i) GROUP BY d.doc_id),
+           mw AS (
+             SELECT d.doc_id,
+               CAST(SUM(1 + length(CAST((d.doc_id*11 + g.i) % 1000
+                 AS VARCHAR))) AS INT) AS wsum
+             FROM d, generate_series(0, 9999) g(i) GROUP BY d.doc_id),
            hw AS (
              SELECT d.doc_id,
                CAST(SUM(1 + length(CAST((d.doc_id*7 + g.i*13 + gj.j)
@@ -1388,15 +1407,20 @@ object SparkEntry {
                   generate_series(0, 8) gj(j)
              GROUP BY d.doc_id)
            SELECT p.doc_id, 0 AS turn_idx, 'pdf' AS path,
-             'fallback' AS status, TRUE AS truncated,
-             5000 AS blocks_total, 5000 AS blocks_kept, 5000 AS n_spans,
-             p.wsum + 4999 AS text_len, p.wsum AS span_len_sum,
-             round(5000 / 5010.0, 6) AS confidence
+             'success' AS status, FALSE AS truncated,
+             5010 AS blocks_total, 5010 AS blocks_kept, 5010 AS n_spans,
+             p.wsum + 5009 AS text_len, p.wsum AS span_len_sum,
+             1.0 AS confidence
            FROM pw p
            UNION ALL
            SELECT h.doc_id, 1, 'html', 'success', TRUE, 1000, 1000, 1000,
              h.wsum + 999, h.wsum, 1.0
            FROM hw h
+           UNION ALL
+           SELECT m.doc_id, 2, 'pdf', 'fallback', TRUE,
+             10000, 10000, 10000, m.wsum + 9999, m.wsum,
+             round(10000 / 10020.0, 6)
+           FROM mw m
            ORDER BY doc_id, turn_idx""",
 
       // the north-star bucketed job's manifest + durable read-back,

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -27,32 +27,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * Malformed run lines are skipped (no exceptions — bad rows degrade, they
   * don't kill the job, mirroring `_validate_file_format`'s role but with
   * row-level status semantics, SURVEY S3).
+  *
+  * `chunk` selects a [[PdfGlyphRuns.MaxRuns]]-sized WINDOW of parsed runs
+  * (chunk k = parsed runs [k·MaxRuns, (k+1)·MaxRuns)): the patch-split
+  * analog (reference `jax_denoising_adapter.py:293-348` — fixed-size
+  * patches bound the per-unit working set of an unboundedly large input).
+  * Chunk 0 is exactly the unchunked parse; over-cap payloads are processed
+  * by evaluating successive chunks (each an O(payload) skip-scan — only
+  * rows that actually exceeded the cap pay it) and concatenating, so
+  * "truncated" means chunk-capped, not content-dropped-at-MaxRuns. Line
+  * numbers are offset chunk·MaxRuns so merged chunks keep a total
+  * reading order (chunk-major; the XY-cut runs per chunk — the patch-seam
+  * tradeoff the reference blends with overlapping windows). `chunk` is an
+  * expression child (not a constructor constant) so the chunk index can
+  * be a `transform(sequence(...))` lambda variable — the whole chunked
+  * evaluation stays one declarative projection.
   */
-case class PdfGlyphRuns(child: Expression) extends UnaryExpression {
+case class PdfGlyphRuns(child: Expression, chunk: Expression = Literal(0))
+    extends BinaryExpression {
 
+  override def left: Expression = child
+  override def right: Expression = chunk
   override def dataType: DataType = PdfGlyphRuns.outType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pdf_glyph_runs"
 
-  override protected def withNewChildInternal(newChild: Expression): PdfGlyphRuns =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PdfGlyphRuns =
+    copy(child = newLeft, chunk = newRight)
 
-  override def nullSafeEval(input: Any): Any =
-    PdfGlyphRuns.evalUtf8(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any, chunkVal: Any): Any =
+    PdfGlyphRuns.evalUtf8(input.asInstanceOf[UTF8String],
+      chunkVal.asInstanceOf[Int])
 
   /** codegen = a static call — keeps the staged projection inside
     * whole-stage codegen instead of breaking the span (CodegenFallback
     * would route every row through the interpreted eval path).
     */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.PdfGlyphRuns.evalUtf8($c)")
+    defineCodeGen(ctx, ev,
+      (c, k) => s"graft.expressions.PdfGlyphRuns.evalUtf8($c, $k)")
 }
 
 object PdfGlyphRuns {
 
   /** static eval shared by interpreted and generated code paths */
-  def evalUtf8(input: UTF8String): ArrayData = {
-    val runs = parse(input.toString)
+  def evalUtf8(input: UTF8String): ArrayData = evalUtf8(input, 0)
+
+  def evalUtf8(input: UTF8String, chunk: Int): ArrayData = {
+    val runs = parse(input.toString, chunk)
     new GenericArrayData(runs.map { r =>
       InternalRow(r.line, r.x, r.y, UTF8String.fromString(r.text), r.start, r.end)
     }.toArray[Any])
@@ -66,6 +89,16 @@ object PdfGlyphRuns {
     * stops parsing here instead of materializing an unbounded array.
     */
   val MaxRuns = 5000
+
+  /** chunked-processing bound (G9 patch-split analog): over-cap payloads
+    * are evaluated in up to MaxChunks successive [[MaxRuns]] windows, so
+    * the per-row working set stays ≤ MaxChunks·MaxRuns runs and a
+    * hostile payload costs at most MaxChunks O(payload) passes.
+    * "truncated" lineage means the CHUNK bound fired (content beyond
+    * MaxChunks·MaxRuns parsed runs was dropped), not the single-window
+    * cap.
+    */
+  val MaxChunks = 2
 
   /** minimum x-projection gap (px) that counts as a column gutter for
     * the XY-cut: ~8.5 char cells. Word-scale spacing (a few cells, even
@@ -93,7 +126,18 @@ object PdfGlyphRuns {
   final case class Run(var line: Int, x: Int, y: Int, text: String,
       start: Int, end: Int)
 
-  def parse(s: String): Array[Run] = {
+  def parse(s: String): Array[Run] = parse(s, 0)
+
+  /** Parse the `chunk`-th [[MaxRuns]]-sized window of parsed runs. The
+    * scan always starts from the payload head (run windows are defined in
+    * PARSED-run index space, and whether a line parses is only known by
+    * parsing it), so chunk k costs one O(payload) pass — paid only by
+    * rows whose candidate count exceeded the previous windows.
+    */
+  def parse(s: String, chunk: Int): Array[Run] = {
+    val lo = chunk * MaxRuns
+    val hi = lo + MaxRuns
+    var parsed = 0
     val n = s.length
     // skip leading whitespace, tolerate ONE wrapping tag (the sniffing
     // cascade routes `<div>…%PDF-…` payloads here — reference analog:
@@ -113,7 +157,7 @@ object PdfGlyphRuns {
     i = headerEnd + 1
 
     val runs = scala.collection.mutable.ArrayBuffer.empty[Run]
-    while (i < n && runs.length < MaxRuns) {
+    while (i < n && parsed < hi) {
       val eol0 = s.indexOf('\n', i)
       val eol = if (eol0 < 0) n else eol0
       // parse "G <x> <y> <size> <text...>" between i and eol
@@ -131,7 +175,8 @@ object PdfGlyphRuns {
         }
         (int(), int(), int()) match {
           case (Some(x), Some(y), Some(_)) if j < eol =>
-            runs += Run(0, x, y, s.substring(j, eol), j, eol)
+            if (parsed >= lo) runs += Run(0, x, y, s.substring(j, eol), j, eol)
+            parsed += 1
           case _ => // malformed run line: skipped
         }
       }
@@ -139,9 +184,16 @@ object PdfGlyphRuns {
     }
 
     // layout analysis: recursive XY-cut (largest-gap-first) assigns
-    // reading-order line numbers — left column reads fully before right
+    // reading-order line numbers — left column reads fully before right.
+    // Chunk offset keeps merged chunks in a total chunk-major order.
     val arr = runs.toArray
-    if (arr.nonEmpty) assignLines(arr)
+    if (arr.nonEmpty) {
+      assignLines(arr)
+      if (lo > 0) {
+        var k = 0
+        while (k < arr.length) { arr(k).line += lo; k += 1 }
+      }
+    }
     arr
   }
 

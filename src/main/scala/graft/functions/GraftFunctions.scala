@@ -20,6 +20,14 @@ object GraftFunctions {
   def pdf_glyph_runs(text: Column): Column =
     column(PdfGlyphRuns(expr(text)))
 
+  /** `pdf_glyph_runs(text, chunk)` — the `chunk`-th
+    * [[graft.expressions.PdfGlyphRuns.MaxRuns]]-sized window of parsed
+    * runs (chunked mega-payload processing; chunk may be a
+    * `transform(sequence(...))` lambda variable)
+    */
+  def pdf_glyph_runs(text: Column, chunk: Column): Column =
+    column(PdfGlyphRuns(expr(text), expr(chunk)))
+
   /** `simhash64(text)` → 64-bit document fingerprint (long) */
   def simhash64(text: Column): Column =
     column(Simhash(expr(text)))
@@ -40,7 +48,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "html_blocks", exprs => HtmlBlocks(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "pdf_glyph_runs", exprs => PdfGlyphRuns(exprs.head), "built-in")
+      "pdf_glyph_runs", exprs =>
+        if (exprs.length >= 2) PdfGlyphRuns(exprs.head, exprs(1))
+        else PdfGlyphRuns(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

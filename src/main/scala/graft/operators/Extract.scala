@@ -264,13 +264,33 @@ object Extract {
         geoMeanTopK(blockScores(col("__kept")))))
       .withColumn("__ca", when(fmt === "html" && size(col("__aggr")) > 0,
         geoMeanTopK(blockScores(col("__aggr"))) * 0.5))
-      .withColumn("__pr", when(fmt === "pdf", pdf_glyph_runs(raw)))
-      .withColumn("__sorted", when(fmt === "pdf",
-        array_sort(col("__pr"), (a, b) => readingOrder(a, b))))
+      .withColumn("__pr0", when(fmt === "pdf", pdf_glyph_runs(raw)))
       // candidate `G `-line count, staged: referenced by confidence AND
       // status — inlined it re-split the raw payload 3× per row
       .withColumn("__cand", when(fmt === "pdf",
         size(filter(split(raw, "\n"), l => substring(l, 1, 2) === "G "))))
+      // Chunked mega-payload processing (G9 patch-split analog, reference
+      // `jax_denoising_adapter.py:293-348`): a payload whose primary
+      // parse filled the MaxRuns window AND whose candidate count proves
+      // more content exists evaluates the successive windows (chunks
+      // 1..MaxChunks-1, lines offset chunk·MaxRuns for a total
+      // chunk-major reading order) and concatenates — full text survives
+      // up to MaxChunks·MaxRuns runs. The CASE branch is lazy: under-cap
+      // rows (the overwhelming majority) never evaluate the extra
+      // O(payload) chunk scans.
+      .withColumn("__pr",
+        if (graft.expressions.PdfGlyphRuns.MaxChunks <= 1) col("__pr0")
+        else when(fmt === "pdf",
+          when(size(col("__pr0")) === graft.expressions.PdfGlyphRuns.MaxRuns &&
+              col("__cand") > graft.expressions.PdfGlyphRuns.MaxRuns,
+            concat(col("__pr0"),
+              flatten(transform(
+                sequence(lit(1),
+                  lit(graft.expressions.PdfGlyphRuns.MaxChunks - 1)),
+                k => pdf_glyph_runs(raw, k)))))
+            .otherwise(col("__pr0"))))
+      .withColumn("__sorted", when(fmt === "pdf",
+        array_sort(col("__pr"), (a, b) => readingOrder(a, b))))
       .withColumn("__pconf", when(fmt === "pdf",
         when(col("__cand") > 0,
           size(col("__pr")).cast("double") / col("__cand").cast("double"))
@@ -299,17 +319,25 @@ object Extract {
     // the flag records that content MAY have been dropped, so lineage
     // (manifest `turns_truncated`) sees it instead of a silent cap. The
     // flag is CONSERVATIVE, like the reference's page-count warning: a
-    // cap-full PDF parse whose surplus candidates were all malformed, or
-    // a cap-full HTML parse trailed only by closing markup, still flags
-    // (never the reverse — a sub-cap parse examined every candidate and
-    // cannot have dropped content).
+    // chunk-capped PDF parse whose surplus candidates were all malformed,
+    // or a cap-full HTML parse trailed only by closing markup, still
+    // flags (never the reverse — a sub-cap parse examined every candidate
+    // and cannot have dropped content). PDF flags at the CHUNK bound
+    // (MaxChunks·MaxRuns — single-window overflows are chunk-processed,
+    // not dropped); HTML flags from the tokenizer's own cap-hit cursor
+    // (cap_cursor, -1 unless the MaxBlocks cap fired): non-whitespace
+    // material beyond where the scan STOPPED — a cap-full parse that
+    // consumed the whole document no longer over-flags, and the cursor
+    // names exactly where content was dropped.
+    val pdfCap = graft.expressions.PdfGlyphRuns.MaxChunks *
+      graft.expressions.PdfGlyphRuns.MaxRuns
+    val capCur = element_at(col("__hb"), -1).getField("cap_cursor")
     val truncated =
       when(fmt === "pdf",
-        size(col("__pr")) === graft.expressions.PdfGlyphRuns.MaxRuns &&
-          col("__cand") > graft.expressions.PdfGlyphRuns.MaxRuns)
+        size(col("__pr")) === pdfCap && col("__cand") > pdfCap)
         .when(fmt === "html",
           size(col("__hb")) === graft.expressions.HtmlBlocks.MaxBlocks &&
-            element_at(col("__hb"), -1).getField("end") < contentEnd(raw))
+            capCur >= 0 && capCur < contentEnd(raw))
         .otherwise(lit(false))
 
     val routed = staged2.withColumn("__x",

@@ -29,7 +29,17 @@ class GoldenEqualitySpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     for (fn <- Seq("html_blocks", "pdf_glyph_runs", "get_json_object")) {
       val count = fn.r.findAllMatchIn(plan).size
-      assert(count === 1, s"$fn appears $count times in the plan:\n$plan")
+      // pdf_glyph_runs additionally appears ONCE as the chunk-window
+      // parse inside the lazily-gated over-cap CASE branch (G9 chunked
+      // processing) — a lambda-driven occurrence, never the primary
+      val lambdaDriven =
+        s"$fn\\([^()]*, lambda".r.findAllMatchIn(plan).size
+      assert(count - lambdaDriven === 1,
+        s"$fn appears $count times ($lambdaDriven chunk-lambda) in the plan:\n$plan")
+      if (fn == "pdf_glyph_runs")
+        assert(lambdaDriven === 1,
+          s"expected one gated chunk-window parse:\n$plan")
+      else assert(lambdaDriven === 0)
     }
   }
 

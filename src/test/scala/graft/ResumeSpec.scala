@@ -73,9 +73,13 @@ class ResumeSpec extends SparkSpecBase {
   test("tokenizer caps set the truncated flag; manifest counts the turns") {
     import spark.implicits._
     val maxR = graft.expressions.PdfGlyphRuns.MaxRuns
+    val maxC = graft.expressions.PdfGlyphRuns.MaxChunks
     val maxB = graft.expressions.HtmlBlocks.MaxBlocks
+    // past the CHUNK bound (an over-window payload inside the bound is
+    // chunk-processed and must NOT flag — TruncationSpec)
     val bigPdf = "%PDF-SIM\n" +
-      (0 until maxR + 50).map(i => s"G 40 ${20 * i} 12 tok$i").mkString("\n")
+      (0 until maxC * maxR + 50).map(i => s"G 40 ${20 * i} 12 tok$i")
+        .mkString("\n")
     val okPdf = "%PDF-SIM\nG 40 20 12 alpha\nG 40 40 12 beta"
     val bigHtml =
       (0 until maxB + 10).map(i => s"<p>block $i has enough words to keep " +

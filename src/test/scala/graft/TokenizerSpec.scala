@@ -152,4 +152,58 @@ class TokenizerSpec extends AnyFunSuite {
       (0 until 1500).map(i => s"<p>block $i</p>").mkString + "</body></html>"
     assert(HtmlBlocks.tokenize(html).length === HtmlBlocks.MaxBlocks)
   }
+
+  test("chunk windows partition the parsed-run space with offset lines") {
+    val R = PdfGlyphRuns.MaxRuns
+    val big = "%PDF-SIM\n" +
+      (0 until R + 700).map(i => s"G 40 ${100 + i * 40} 10 w$i\n").mkString
+    val c0 = PdfGlyphRuns.parse(big, 0)
+    val c1 = PdfGlyphRuns.parse(big, 1)
+    assert(c0.length === R && c1.length === 700)
+    // chunk 0 is exactly the unchunked parse
+    assert(c0.map(_.text).toSeq === runs(big).map(_.text).toSeq)
+    // concatenated chunks cover every run, in payload order here
+    assert((c0 ++ c1).map(_.text).toSeq ===
+      (0 until R + 700).map(i => s"w$i"))
+    // chunk-1 lines are offset by chunk·MaxRuns → total chunk-major order
+    assert(c1.map(_.line).min === R)
+    assert(c0.map(_.line).max < R)
+    // malformed lines don't consume window slots (windows are in
+    // PARSED-run index space)
+    val holey = "%PDF-SIM\n" +
+      (0 until 2 * R + 10).map(i =>
+        if (i % 3 == 2) s"G bad line $i\n" else s"G 40 ${100 + i * 40} 10 w$i\n")
+        .mkString
+    val good = (0 until 2 * R + 10).filter(_ % 3 != 2)
+    val h0 = PdfGlyphRuns.parse(holey, 0)
+    val h1 = PdfGlyphRuns.parse(holey, 1)
+    assert(h0.length === R)
+    assert((h0 ++ h1).map(_.text).toSeq === good.map(i => s"w$i"))
+    // a window past the content is empty, not an error
+    assert(PdfGlyphRuns.parse(big, 5).isEmpty)
+  }
+
+  test("cap_cursor names where the block cap stopped the scan") {
+    val B = HtmlBlocks.MaxBlocks
+    // cap fires with real content beyond: cursor < end of input
+    val over = "<html><body>" +
+      (0 until B + 5).map(i => s"<p>block number $i</p>").mkString +
+      "</body></html>"
+    val ob = HtmlBlocks.tokenize(over)
+    assert(ob.length === B)
+    assert(ob.last.capCursor >= 0 && ob.last.capCursor < over.length)
+    assert(ob.init.forall(_.capCursor === -1))
+    // adversarial: cap coincides with the exact end of content — the
+    // document IS fully consumed (cursor == length), nothing dropped;
+    // the old last-block-end-vs-contentEnd heuristic over-flagged this
+    val exact = "<html><body>" +
+      (0 until B - 1).map(i => s"<p>block number $i</p>").mkString +
+      "<p>final words here"
+    val eb = HtmlBlocks.tokenize(exact)
+    assert(eb.length === B)
+    assert(eb.last.capCursor === exact.length)
+    // no cap → no cursor anywhere
+    assert(HtmlBlocks.tokenize("<p>a b</p><p>c d</p>")
+      .forall(_.capCursor === -1))
+  }
 }
