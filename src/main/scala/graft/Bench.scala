@@ -558,16 +558,26 @@ object Bench {
     var lastAttemptWall: Option[Double] = None
     def tryChild(c: Int, dir: String, turns: Long, round: Int): Option[Double] = {
       val e0 = est.getOrElse((c, dir), 150.0)
-      // A SECOND narrow-on-big sample may borrow a bounded slice of the
-      // battery reserve: the scaling pair is the north-rule criterion and
-      // a lone narrow leaves the round-selection no choice (the r4n trial
+      // A narrow-on-big sample may borrow a bounded slice of the battery
+      // reserve: the scaling pair is the north-rule criterion, and the
+      // battery degrades gracefully when the reserve shrinks (its warm-up
+      // pass and median re-runs self-gate on the remaining budget —
+      // losing them costs polish, not the criterion). The FIRST narrow
+      // borrows the most (90 s / a third of the reserve): with zero
+      // narrow samples the run is GUARANTEED to headline -1, so any
+      // reserve spend that converts it to a measured run dominates (the
+      // r5a trial's degraded round 1 ate the budget, its round-2 window
+      // was clean — wide 25.2 s — and the first narrow was skipped 43 s
+      // short of its conservative 190 s seed; the battery then finished
+      // with ~100 s to spare). A SECOND narrow borrows less (60 s): a
+      // lone narrow leaves the round-selection no choice (the r4n trial
       // missed its round-2 narrow by 15 s and headlined a dirty-window
-      // pair), while the battery degrades gracefully when the reserve
-      // shrinks (its warm-up pass and median re-runs self-gate on the
-      // remaining budget — losing them costs polish, not the criterion).
+      // pair).
       val narrowSamples = samples.count(s => s._1 == c && s._2 == dir)
       val borrow =
-        if (c == n && dir == big && narrowSamples == 1)
+        if (c == n && dir == big && narrowSamples == 0)
+          math.min(90.0, reserve / 3)
+        else if (c == n && dir == big && narrowSamples == 1)
           math.min(60.0, reserve * 0.25)
         else 0.0
       if (scalingLeft + borrow < e0 * 0.95) {

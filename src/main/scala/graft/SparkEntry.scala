@@ -1381,11 +1381,14 @@ object SparkEntry {
       // expected output by construction (stateless per-row projections)
       "x21_streaming_extract" -> graft.gen.HtmlGen.oracle,
 
-      // cap truncation: pdf keeps exactly MaxRuns=5000 of 5010 valid
-      // run lines (conf = parsed fraction 5000/5010, status fallback,
-      // 4999 newline separators), html keeps exactly MaxBlocks=1000 of
-      // 1005 nine-word paragraphs (8 intra-paragraph spaces each, 999
-      // separators); span widths are the token-length sums
+      // cap truncation under chunked processing: the over-window pdf
+      // (5010 valid run lines > MaxRuns=5000) chunk-processes -- ALL
+      // 5010 survive, conf 1.0, no flag; the mega pdf (10020 lines >
+      // MaxChunks*MaxRuns=10000) keeps exactly the chunk bound (conf =
+      // parsed fraction 10000/10020, status fallback, flag raised);
+      // html keeps exactly MaxBlocks=1000 of 1005 nine-word paragraphs
+      // (8 intra-paragraph spaces each, 999 separators); span widths
+      // are the token-length sums
       "x22_truncation_lineage" ->
         """WITH d AS (
              SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
