@@ -938,6 +938,64 @@ object SparkEntry {
         nlist = 16, nprobe = 4).orderBy("query_id", "rank")
     }),
 
+    // The LSH pipeline downstream of the hash, under the DuckDB value
+    // oracle (round-4 verdict #8): closed-form hashed-shingle arrays —
+    // 4-doc clusters sharing a 40-element base set, member k replacing
+    // its last 5k elements — feed the PRODUCTION signature → band →
+    // bucket → pair → Jaccard-verify path (Dedup.lshOverHashedShingles,
+    // the same code t03 runs after shingleHashes). Within a cluster,
+    // J(·,k)=(40−5k)/(40+5k): 0.778 / 0.6 / 0.455, so threshold 0.6
+    // keeps pair classes {(0,1),(0,2),(1,2)} — WHEN banding surfaces
+    // them (J=0.6 collides in ≥1 of 8 bands for ~75% of pairs; both
+    // engines replicate the same deterministic minhash arithmetic, the
+    // oracle banding on band-slice VALUES, which equals banding on
+    // xxhash64(slice) up to ~2⁻⁶⁴ collisions). Values cluster·10⁵+offset
+    // stay < 2³¹−1 (MinhashSig's modulus — required for cross-engine
+    // equality, since the native sig mods its input and the twin does
+    // not) for corpora ≤ ~85 k docs, i.e. through sf1.
+    "t11_lsh_pipeline_sql" -> ((s, dir) => {
+      val did = col("doc_id")
+      val c = floor(did / lit(4)).cast("long")
+      val k = pmod(did, lit(4))
+      val sh = transform(sequence(lit(0), lit(39)), j =>
+        when(j.cast("long") < lit(40L) - k * 5, c * 100000 + j)
+          .otherwise(c * 100000 + 1000 + k * 100 + j))
+      val staged = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(did, sh.as("sh")))
+      Dedup.lshOverHashedShingles(staged, numHashes = 32, bands = 8,
+          threshold = 0.6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash banding + hamming verify downstream of the token hash,
+    // under the DuckDB value oracle (round-4 verdict #8): closed-form
+    // 64-bit signatures — four 16-bit chunks of cluster arithmetic (top
+    // chunk 15-bit to stay in signed range), member k xor-flipping the
+    // first k of bits {7,23,41,55} — feed the PRODUCTION chunk-band →
+    // bucket → pair → bit_count(xor) path (Dedup.simhashPairs, the same
+    // code t04 runs after the native Simhash). Nested flips give
+    // hamming(j,k) = popcount(flips j..k−1): per cluster the five pairs
+    // {(0,1):1,(0,2):2,(1,2):1,(1,3):3,(2,3):2} pass ≤3 and (0,3)=4 is
+    // correctly absent — it differs in ALL four chunks, the pigeonhole
+    // bound's own failure mode.
+    "t12_simhash_pipeline_sql" -> ((s, dir) => {
+      val did = col("doc_id")
+      val c = floor(did / lit(4)).cast("long")
+      val k = pmod(did, lit(4))
+      val v0 = shiftleft(pmod(c * 6789, lit(32768L)), 48)
+        .bitwiseOR(shiftleft(pmod(c * 28561, lit(65536L)), 32))
+        .bitwiseOR(shiftleft(pmod(c * 12345, lit(65536L)), 16))
+        .bitwiseOR(pmod(c * 40503, lit(65536L)))
+      val mask = when(k === 0, lit(0L))
+        .when(k === 1, lit(1L << 7))
+        .when(k === 2, lit((1L << 7) | (1L << 23)))
+        .otherwise(lit((1L << 7) | (1L << 23) | (1L << 41) | (1L << 55)))
+      val staged = spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(did, v0.bitwiseXOR(mask).as("sh")))
+      Dedup.simhashPairs(staged, maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // histogram over pipeline outputs (SURVEY A7/A8 shape)
     "t09_quality_histogram" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
@@ -1575,6 +1633,86 @@ object SparkEntry {
                 (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM scored)
             WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // LSH pipeline downstream-of-hash twin: the same closed-form
+      // shingle arrays, the same (a_i, b_i) permutation family (VALUES
+      // table derived from Dedup.hashParams — single source), banding on
+      // band-slice VALUES (≡ banding on xxhash64(slice) up to ~2⁻⁶⁴
+      // collisions), the same >1/≤4096 bucket gate, distinct a<b pairs,
+      // exact Jaccard over the hash sets.
+      "t11_lsh_pipeline_sql" -> {
+        val vals = (0 until 32).map { i =>
+          val (a, b) = graft.dedup.Dedup.hashParams(i)
+          s"($i,$a,$b)"
+        }.mkString(", ")
+        s"""WITH d AS (SELECT doc_id, doc_id // 4 AS c, doc_id % 4 AS k
+               FROM documents),
+           sh AS (
+             SELECT doc_id,
+               CASE WHEN j < 40 - k*5 THEN c*100000 + j
+                    ELSE c*100000 + 1000 + k*100 + j END AS h
+             FROM d, generate_series(0, 39) AS g(j)),
+           ab(i, a, b) AS (VALUES $vals),
+           sig AS (
+             SELECT sh.doc_id, ab.i,
+               MIN((sh.h * ab.a + ab.b) % 2147483647) AS mh
+             FROM sh CROSS JOIN ab GROUP BY 1, 2),
+           band AS (
+             SELECT doc_id, i // 4 AS band_idx,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+             FROM sig GROUP BY 1, 2),
+           bucket AS (
+             SELECT band_idx, bkey FROM band GROUP BY 1, 2
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 4096),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM band x JOIN band y USING (band_idx, bkey)
+             JOIN bucket USING (band_idx, bkey)
+             WHERE x.doc_id < y.doc_id),
+           shl AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY 1)
+           SELECT a_id, b_id,
+             round(CAST(len(list_intersect(la.hs, rb.hs)) AS DOUBLE) /
+                   len(list_distinct(la.hs || rb.hs)), 6) AS jaccard
+           FROM cand JOIN shl la ON a_id = la.doc_id
+                     JOIN shl rb ON b_id = rb.doc_id
+           WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""
+      },
+
+      // SimHash downstream twin: same closed-form signatures, 16-bit
+      // chunk banding with the same bucket gate, distinct a<b pairs,
+      // bit_count(xor) ≤ 3
+      "t12_simhash_pipeline_sql" ->
+        """WITH d AS (SELECT doc_id, doc_id // 4 AS c, doc_id % 4 AS k
+               FROM documents),
+           s AS (
+             SELECT doc_id,
+               xor(
+                 ((c*40503) % 65536)
+                 | (((c*12345) % 65536) << 16)
+                 | (((c*28561) % 65536) << 32)
+                 | (((c*6789)  % 32768) << 48),
+                 CASE k WHEN 0 THEN 0
+                        WHEN 1 THEN (1::BIGINT << 7)
+                        WHEN 2 THEN (1::BIGINT << 7) | (1::BIGINT << 23)
+                        ELSE (1::BIGINT << 7) | (1::BIGINT << 23)
+                           | (1::BIGINT << 41) | (1::BIGINT << 55)
+                 END) AS sh
+             FROM d),
+           ch AS (
+             SELECT doc_id, sh, t AS chunk_idx,
+               (sh >> (16*t)) & 65535 AS chunk
+             FROM s, generate_series(0, 3) AS g(t)),
+           bucket AS (
+             SELECT chunk_idx, chunk FROM ch GROUP BY 1, 2
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 4096),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+             FROM ch x JOIN ch y USING (chunk_idx, chunk)
+             JOIN bucket USING (chunk_idx, chunk)
+             WHERE x.doc_id < y.doc_id)
+           SELECT a_id, b_id, hamming FROM cand
+           WHERE hamming <= 3 ORDER BY a_id, b_id""",
 
       "t09_quality_histogram" -> {
         val inner = TextAnalysis.oracle

@@ -60,7 +60,7 @@ object Dedup {
   private val P31 = 2147483647L // 2^31 - 1
 
   /** deterministic universal-hash parameters (a_i, b_i) in [1, P31) */
-  private def hashParams(i: Int): (Long, Long) = (
+  private[graft] def hashParams(i: Int): (Long, Long) = (
     1L + java.lang.Long.remainderUnsigned(
       0x9E3779B97F4A7C15L * (i + 1), P31 - 1),
     java.lang.Long.remainderUnsigned(0xC2B2AE3D27D4EB4FL * (i + 1), P31))
@@ -209,14 +209,32 @@ object Dedup {
     */
   def minhashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       shingleWidth: Int = 3, threshold: Double = 0.7,
+      maxBucket: Int = 4096, broadcastCandidates: Boolean = true): DataFrame =
+    lshOverHashedShingles(
+      docs.select(col("doc_id"),
+        shingleHashes(col("text"), shingleWidth).as("sh")),
+      numHashes, bands, threshold, maxBucket, broadcastCandidates)
+
+  /** The downstream of [[minhashDedup]] — signature → bands →
+    * bucket-grouped candidates → exact-Jaccard verify — over a
+    * PRE-HASHED shingle frame `(doc_id, sh: array<bigint>)`. Two callers:
+    *  - [[minhashDedup]] (sh = [[shingleHashes]] over text);
+    *  - the 100-TB form the minhashDedup scaladoc prescribes: compute the
+    *    hashed-shingle table ONCE, checkpoint it to storage, and run LSH
+    *    sweeps (different band/threshold settings) over the 8-byte-per-
+    *    window table without re-tokenizing the corpus.
+    * Splitting here also puts everything downstream of the (engine-
+    * specific) xxhash64 under the DuckDB value oracle: t11 feeds
+    * closed-form hash arrays through this exact code path.
+    */
+  def lshOverHashedShingles(hsh0: DataFrame, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7,
       maxBucket: Int = 4096, broadcastCandidates: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val hsh = docs.select(col("doc_id"),
-      shingleHashes(col("text"), shingleWidth).as("sh"))
-      // MinhashSig contract: empty shingle arrays must not reach banding
-      // (all-null signatures band identically — a quadratic trap).
-      // Unreachable via shingleHashes (never empty) → zero-cost guard.
-      .filter(size(col("sh")) > 0)
+    // MinhashSig contract: empty shingle arrays must not reach banding
+    // (all-null signatures band identically — a quadratic trap).
+    // Unreachable via shingleHashes (never empty) → zero-cost guard.
+    val hsh = hsh0.filter(size(col("sh")) > 0)
     // native single-pass signature (declarative minhashSignature is the
     // cross-checked spec — its numHashes-way codegen alone cost ~14 s of
     // first-run Janino/JIT per session, driver-visible in the battery)
@@ -283,11 +301,24 @@ object Dedup {
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 4096): DataFrame =
+    simhashPairs(
+      docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")),
+      maxHamming, maxBucket)
+
+  /** The downstream of [[simhashDedup]] — 16-bit chunk banding →
+    * bucket-grouped candidates → hamming verify — over a PRE-COMPUTED
+    * signature frame `(doc_id, sh: bigint)`. Same split rationale as
+    * [[lshOverHashedShingles]]: a checkpointed signature table (8 bytes
+    * per doc) supports repeated sweeps without re-hashing the corpus,
+    * and everything downstream of the engine-specific token hash sits
+    * under the DuckDB value oracle (t12 feeds closed-form signatures
+    * through this exact code path).
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3,
       s"4-chunk banding guarantees recall only for hamming <= 3 (got $maxHamming)")
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("chunk")))

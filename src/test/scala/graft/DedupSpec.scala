@@ -159,6 +159,53 @@ class DedupSpec extends SparkSpecBase {
     assert(native === decl)
   }
 
+  test("lshOverHashedShingles: the t11 cluster fixture yields exactly the " +
+      "banded subset of the >=0.6-Jaccard pairs") {
+    // 4-member clusters over a 40-element base hash set; member k
+    // replaces its last 5k elements → J(·,k) = (40−5k)/(40+5k)
+    val n = 80 // 20 clusters
+    val hsh = (0L until n).map { d =>
+      val (c, k) = (d / 4, (d % 4).toInt)
+      d -> (0 until 40).map(j =>
+        if (j < 40 - k * 5) c * 100000L + j
+        else c * 100000L + 1000 + k * 100 + j).toArray
+    }.toDF("doc_id", "sh")
+    val got = Dedup.lshOverHashedShingles(hsh, numHashes = 32, bands = 8,
+        threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    // every returned pair is within-cluster with the closed-form jaccard
+    got.foreach { case (a, b, j) =>
+      assert(a / 4 === b / 4)
+      val k = math.max(a % 4, b % 4).toInt
+      assert(k <= 2) // J(·,3) = 0.455 < 0.6 never passes verify
+      assert(math.abs(j - (40.0 - 5 * k) / (40 + 5 * k)) < 1e-6)
+    }
+    // high-J (0,1) pairs band with P ≈ 0.97 — expect most of 20 clusters
+    assert(got.count { case (a, b, _) => a % 4 == 0 && b % 4 == 1 } >= 15)
+    // verify-side filter is live: some banded candidate had J < 0.6
+    // (member-3 pairs collide on bands occasionally yet never appear)
+    assert(got.forall { case (_, b, _) => b % 4 <= 2 })
+  }
+
+  test("simhashPairs: nested bit-flip fixture yields the 5 hamming<=3 " +
+      "pairs per cluster and drops the 4-flip pair") {
+    val flips = Seq(7, 23, 41, 55).map(1L << _)
+    val sigs = (0L until 80L).map { d =>
+      val (c, k) = (d / 4, (d % 4).toInt)
+      val v0 = ((c * 6789) % 32768 << 48) | ((c * 28561) % 65536 << 32) |
+        ((c * 12345) % 65536 << 16) | ((c * 40503) % 65536)
+      val nf = if (k == 3) 4 else k // member 3 flips all four bits
+      d -> (v0 ^ flips.take(nf).foldLeft(0L)(_ | _))
+    }.toDF("doc_id", "sh")
+    val got = Dedup.simhashPairs(sigs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (0L until 80L by 4).flatMap { d0 =>
+      Seq((d0, d0 + 1, 1), (d0, d0 + 2, 2), (d0 + 1, d0 + 2, 1),
+        (d0 + 1, d0 + 3, 3), (d0 + 2, d0 + 3, 2))
+    }.toSet // (0,3) hamming 4: differs in ALL four chunks — not banded
+    assert(got === expected)
+  }
+
   test("minhash signature values are stable across partitioning") {
     val docs = (0L until 50L).map(i => i -> s"$base token$i extra words here")
     val a = Dedup.minhashed(docs.toDF("doc_id", "text").repartition(1))
