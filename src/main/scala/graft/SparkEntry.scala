@@ -58,6 +58,14 @@ object SparkEntry {
       .otherwise(-floor(-scaled + lit(0.5))).cast("double") / lit(1000000)
   }
 
+  /** t13's closed-form IVF centroid model, shared by the Spark query and
+    * its DuckDB twin (single source): 16 distinct shifted eighth-step
+    * patterns in [-1, 1] — every component k/8 is exactly representable,
+    * so the literal round-trips bit-identically into both engines.
+    */
+  private def t13Cents: Array[Array[Double]] =
+    Array.tabulate(16, 64)((cid, d) => (((cid * 5 + d * 3) % 17) - 8) / 8.0)
+
   /** Hard bound on any driver-side validation collect (x06): the
     * reference calibrates on a tens-of-documents validation slice
     * (`pipeline.py:223-245`), and at 100 TB you calibrate on a sampled
@@ -996,6 +1004,21 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // IVF probe/assign/rank downstream of training, under the DuckDB
+    // value oracle (same split pattern as t11/t12): a closed-form
+    // 16×64 centroid model — eighth-steps in [-1,1], rows distinct
+    // shifted patterns (5 invertible mod 17), every component exactly
+    // representable — feeds the PRODUCTION inverted-list pipeline
+    // (Ann.ivfTopKWithCentroids, the same code t10 runs after Lloyd
+    // training). The twin re-derives assignment (max score, tie→larger
+    // cid, Spark's struct-greatest order) and probing (score desc, cid
+    // asc, Spark's topCells order) from the same literals.
+    "t13_ann_ivf_sql" -> ((s, dir) => {
+      val embs = spread(s.read.parquet(s"$dir/embeddings.parquet"))
+      Ann.ivfTopKWithCentroids(embs, embs.filter(col("vec_id") < 8),
+        t13Cents, k = 5, nprobe = 4).orderBy("query_id", "rank")
+    }),
+
     // histogram over pipeline outputs (SURVEY A7/A8 shape)
     "t09_quality_histogram" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
@@ -1153,7 +1176,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (x*, m*, t03/t04/t08 — approx/hash-dependent) → rows-only check.
+    * (seeded-generator inputs x01–x03/x06/x07/m01, and t03/t04/t10 whose
+    * xxhash64-over-data / iteration-dependent cores have no DuckDB
+    * analog — their downstream logic is value-checked via t11/t12) →
+    * rows-only check.
     */
   def oracleSql: Map[String, String] = {
     // x is cast to DOUBLE so products are EXACT (f32×f32 is exactly
@@ -1633,6 +1659,120 @@ object SparkEntry {
                 (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
               FROM scored)
             WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // Hyperplane-LSH ANN twin — the FULL t08 pipeline under the value
+      // oracle, no production change: the plane matrix is
+      // xxhash64-derived but CONSTANT (xxhash64 of literal (p,d) keys),
+      // so its 4×64 component VALUES are computed here driver-side with
+      // catalyst's own XXH64 (same bits Spark folds into the plan) and
+      // inlined as literals via Double.toString (shortest-roundtrip —
+      // DuckDB parses back the identical double). Margins/cosines are
+      // float sums whose grouping order differs across engines; signs,
+      // flip choice (smallest |margin|, tie by plane), and the 6-digit
+      // rounded cosine are all ~1e-15-robust (same tolerance t06/t07
+      // already rely on).
+      "t08_ann_lsh" -> {
+        def comp(p: Int, d: Int): Double = {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(p * 100003 + d, 42L)
+          val m = ((h % 2000000L) + 2000000L) % 2000000L
+          m / 1000000.0 - 1.0
+        }
+        val pc = (for { p <- 0 until 4; d <- 0 until 64 }
+          yield s"($p,${d + 1},${comp(p, d)})").mkString(", ")
+        s"""WITH flat AS ($flat),
+           pc(p, i, c) AS (VALUES $pc),
+           m AS (
+             SELECT f.vec_id, pc.p, SUM(f.x * pc.c) AS md
+             FROM flat f JOIN pc ON pc.i = f.i GROUP BY 1, 2),
+           b AS (
+             SELECT vec_id,
+               CAST(SUM(CASE WHEN md >= 0 THEN (1::BIGINT << p)
+                 ELSE 0 END) AS BIGINT) AS bucket
+             FROM m GROUP BY 1),
+           n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+                 FROM flat GROUP BY 1),
+           qf AS (
+             SELECT vec_id, p FROM (
+               SELECT vec_id, p, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY abs(md), p) AS rn
+               FROM m WHERE vec_id < 8)
+             WHERE rn = 1),
+           qb AS (
+             SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 8
+             UNION ALL
+             SELECT b.vec_id, xor(b.bucket, (1::BIGINT << qf.p))
+             FROM b JOIN qf USING (vec_id)),
+           cand AS (
+             SELECT q.query_id, c.vec_id FROM qb q
+             JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+           sc AS (
+             SELECT cand.query_id, cand.vec_id,
+               round(SUM(fq.x * fc.x) / (nq.nrm * nc.nrm), 6) AS cos
+             FROM cand
+             JOIN flat fq ON fq.vec_id = cand.query_id
+             JOIN flat fc ON fc.vec_id = cand.vec_id AND fc.i = fq.i
+             JOIN n nq ON nq.vec_id = cand.query_id
+             JOIN n nc ON nc.vec_id = cand.vec_id
+             GROUP BY 1, 2, nq.nrm, nc.nrm)
+           SELECT query_id, vec_id, cos, rank FROM (
+             SELECT *, CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
+               AS rank
+             FROM sc)
+           WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
+
+      // IVF downstream twin: the same literal centroid model (from
+      // t13Cents — single source), assignment = max score with ties to
+      // the LARGER cid (Spark's struct-greatest order), probing = score
+      // desc / cid ASC (Spark's topCells sort), exact cosine + top-k
+      // within probed candidates
+      "t13_ann_ivf_sql" -> {
+        val ct = (for { cid <- 0 until 16; d <- 0 until 64 }
+          yield s"($cid,${d + 1},${t13Cents(cid)(d)})").mkString(", ")
+        s"""WITH flat AS ($flat),
+           ct(cid, i, c) AS (VALUES $ct),
+           cn AS (SELECT cid, greatest(sqrt(SUM(c*c)), 1e-12) AS nrm
+                  FROM ct GROUP BY 1),
+           s0 AS (
+             SELECT f.vec_id, ct.cid, SUM(f.x * ct.c) AS d
+             FROM flat f JOIN ct ON ct.i = f.i GROUP BY 1, 2),
+           asg AS (
+             SELECT vec_id, cid FROM (
+               SELECT s0.vec_id, s0.cid, row_number() OVER
+                 (PARTITION BY s0.vec_id
+                  ORDER BY s0.d / cn.nrm DESC, s0.cid DESC) AS rn
+               FROM s0 JOIN cn USING (cid))
+             WHERE rn = 1),
+           probe AS (
+             SELECT vec_id AS query_id, cid FROM (
+               SELECT s0.vec_id, s0.cid, row_number() OVER
+                 (PARTITION BY s0.vec_id
+                  ORDER BY s0.d / cn.nrm DESC, s0.cid ASC) AS rn
+               FROM s0 JOIN cn USING (cid) WHERE s0.vec_id < 8)
+             WHERE rn <= 4),
+           n AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+                 FROM flat GROUP BY 1),
+           cand AS (
+             SELECT p.query_id, a.vec_id FROM probe p
+             JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+           sc AS (
+             SELECT cand.query_id, cand.vec_id,
+               round(SUM(fq.x * fc.x) / (nq.nrm * nc.nrm), 6) AS cos
+             FROM cand
+             JOIN flat fq ON fq.vec_id = cand.query_id
+             JOIN flat fc ON fc.vec_id = cand.vec_id AND fc.i = fq.i
+             JOIN n nq ON nq.vec_id = cand.query_id
+             JOIN n nc ON nc.vec_id = cand.vec_id
+             GROUP BY 1, 2, nq.nrm, nc.nrm)
+           SELECT query_id, vec_id, cos, rank FROM (
+             SELECT *, CAST(row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT)
+               AS rank
+             FROM sc)
+           WHERE rank <= 5 ORDER BY query_id, rank"""
+      },
 
       // LSH pipeline downstream-of-hash twin: the same closed-form
       // shingle arrays, the same (a_i, b_i) permutation family (VALUES

@@ -170,8 +170,24 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    ivfTopKWithCentroids(corpus, queries,
+      ivfCentroids(corpus, nlist, iters, vecCol, idCol), k, nprobe,
+      vecCol, idCol)
+
+  /** The downstream of [[ivfTopK]] — inverted-list assignment, nprobe
+    * cell probing, exact-cosine ranking — with a GIVEN centroid model.
+    * Two callers: [[ivfTopK]] (Lloyd-trained model) and any caller with
+    * a pre-trained / externally-supplied coarse quantizer (the common
+    * production shape: train once on a sample, reuse the model across
+    * many query batches). Splitting here also puts everything downstream
+    * of the (hash-seeded, iteration-dependent) training under the DuckDB
+    * value oracle: t13 feeds a closed-form centroid model through this
+    * exact code path.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      cents: Array[Array[Double]], k: Int = 5, nprobe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, iters, vecCol, idCol)
     val c = corpus.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cid", nearestCentroid(col("v"), cents))

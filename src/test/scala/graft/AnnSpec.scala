@@ -62,6 +62,45 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfTopKWithCentroids matches a Scala re-derivation of " +
+      "assign/probe/rank under a closed-form model") {
+    val dim = 8
+    val cents = Array.tabulate(4, dim)((cid, d) =>
+      (((cid * 5 + d * 3) % 17) - 8) / 8.0)
+    val data = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def score(v: Array[Double], cid: Int): Double =
+      dot(v, cents(cid)) / math.max(math.sqrt(dot(cents(cid), cents(cid))), 1e-12)
+    // assignment: max score, tie → larger cid (struct-greatest order)
+    val asg = data.map { case (id, v) =>
+      id -> (0 until 4).maxBy(c => (score(v, c), c))
+    }
+    // probes: top-2 cells by score desc, cid asc (topCells order)
+    val queries = (0L until 3L).toSeq
+    val probes = queries.map { q =>
+      q -> (0 until 4).sortBy(c => (-score(data(q), c), c)).take(2).toSet
+    }.toMap
+    val expected = queries.flatMap { q =>
+      data.keys.toSeq.filter(v => v != q && probes(q).contains(asg(v)))
+        .map { v =>
+          val c = dot(data(q), data(v)) /
+            (math.sqrt(dot(data(q), data(q))) * math.sqrt(dot(data(v), data(v))))
+          (q, v, BigDecimal(c).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (_, v, c) => (-c, v) }.take(5)
+        .zipWithIndex.map { case ((_, v, c), i) => (q, v, c, i + 1) }
+    }.toSet
+    val got = Ann.ivfTopKWithCentroids(corpus,
+        corpus.filter(col("vec_id") < 3), cents, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("ivfTopK: exact cosines, deterministic, useful recall vs brute force") {
     val qs = corpus.filter(col("vec_id") < 6)
     val ivf = Ann.ivfTopK(corpus, qs, k = 5, nlist = 8, nprobe = 3)
