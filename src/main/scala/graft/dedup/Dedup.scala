@@ -315,10 +315,17 @@ object Dedup {
     * under the DuckDB value oracle (t12 feeds closed-form signatures
     * through this exact code path).
     */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+  def simhashPairs(sigs0: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame = {
     require(maxHamming <= 3,
       s"4-chunk banding guarantees recall only for hamming <= 3 (got $maxHamming)")
+    // null signatures (null-text docs) must not reach banding: Spark
+    // groups null chunk keys together, so every null-sig doc would pair
+    // with every other inside one bucket — the same quadratic trap the
+    // minhash path guards against. The pairs were already invisible in
+    // the OUTPUT (null hamming fails the <= filter); the guard removes
+    // the wasted quadratic work at boilerplate scale.
+    val sigs = sigs0.filter(col("sh").isNotNull)
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("chunk")))

@@ -206,6 +206,21 @@ class DedupSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("simhashPairs drops null signatures before banding " +
+      "(no null-bucket quadratic pairing)") {
+    val sigs = Seq(1L -> Option(42L), 2L -> Option(42L),
+      3L -> (None: Option[Long]), 4L -> (None: Option[Long]))
+      .toDF("doc_id", "sh")
+    val got = Dedup.simhashPairs(sigs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical non-null sigs pair; the two null-sig docs never do
+    assert(got === Set((1L, 2L)))
+    // and the guard sits PRE-banding (analyzed plan — the optimizer
+    // folds it into this local-relation fixture's scan, r1 gotcha)
+    val plan = Dedup.simhashPairs(sigs).queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("isnotnull(sh"))
+  }
+
   test("minhash signature values are stable across partitioning") {
     val docs = (0L until 50L).map(i => i -> s"$base token$i extra words here")
     val a = Dedup.minhashed(docs.toDF("doc_id", "text").repartition(1))
