@@ -25,38 +25,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** exact-arity gate — same review fix as GraftFunctions.register:
+    * `children.head` builders silently dropped surplus arguments */
+  private def arity(name: String, ns: Set[Int])(
+      f: Seq[Expression] => Expression)(
+      children: Seq[Expression]): Expression = {
+    require(ns.contains(children.length),
+      s"$name expects ${ns.toSeq.sorted.mkString(" or ")} argument(s), " +
+        s"got ${children.length}")
+    f(children)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("html_blocks"),
       info("html_blocks",
         "html_blocks(text) - tokenizes HTML into content blocks with spans and link-density features"),
-      (children: Seq[Expression]) => HtmlBlocks(children.head)))
+      arity("html_blocks", Set(1))(children => HtmlBlocks(children.head))))
     ext.injectFunction((
       FunctionIdentifier("pdf_glyph_runs"),
       info("pdf_glyph_runs",
         "pdf_glyph_runs(text[, chunk]) - parses glyph-run payloads into line-clustered runs with spans; chunk selects a MaxRuns-sized window for chunked mega-payload processing"),
-      (children: Seq[Expression]) =>
-        if (children.length >= 2) PdfGlyphRuns(children.head, children(1))
-        else PdfGlyphRuns(children.head)))
+      arity("pdf_glyph_runs", Set(1, 2))(children =>
+        if (children.length == 2) PdfGlyphRuns(children.head, children(1))
+        else PdfGlyphRuns(children.head))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       info("vec_dot",
         "vec_dot(a, b) - allocation-free dot product of two array<double> columns"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      arity("vec_dot", Set(2))(children =>
+        VecDot(children.head, children(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64",
         "simhash64(text) - single-pass 64-bit SimHash document fingerprint"),
-      (children: Seq[Expression]) => Simhash(children.head)))
+      arity("simhash64", Set(1))(children => Simhash(children.head))))
     ext.injectFunction((
       FunctionIdentifier("kie_best"),
       info("kie_best",
         "kie_best(text) - best electricity/carbon KIE candidates as struct<ke,kc>"),
-      (children: Seq[Expression]) => KieBest(children.head)))
+      arity("kie_best", Set(1))(children => KieBest(children.head))))
     ext.injectFunction((
       FunctionIdentifier("token_spans"),
       info("token_spans",
         "token_spans(text) - whitespace tokens with char spans in the single-space-collapsed string"),
-      (children: Seq[Expression]) => TokenSpans(children.head)))
+      arity("token_spans", Set(1))(children => TokenSpans(children.head))))
   }
 }

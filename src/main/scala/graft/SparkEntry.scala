@@ -266,8 +266,14 @@ object SparkEntry {
       // local frame is the scale-correct shape, not a shortcut. The
       // [[ValidationCollectCap]] bound (round-4 verdict #2) makes the
       // "small by design" claim structural: the collect can never
-      // scale with the input.
-      val rows = joined.limit(ValidationCollectCap).collect()
+      // scale with the input. The bound is DETERMINISTIC (review fix):
+      // a bare limit() takes whichever partitions answer first, so a
+      // binding cap would make the fitted model run-dependent; ordering
+      // by the validation key plans as TakeOrderedAndProject
+      // (per-partition top-k + driver merge, no global sort) and always
+      // selects the same slice.
+      val rows = joined.orderBy("conv_id", "turn_idx")
+        .limit(ValidationCollectCap).collect()
       val local = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), joined.schema)
       val models = graft.calibration.Calibration.fit(

@@ -51,6 +51,22 @@ case class PdfGlyphRuns(child: Expression, chunk: Expression = Literal(0))
   override def dataType: DataType = PdfGlyphRuns.outType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pdf_glyph_runs"
+  // analysis-time typing (review fix): without an input-type check a
+  // SQL call like pdf_glyph_runs(text, 1::BIGINT) passed analysis and
+  // crashed per-row in codegen/eval (evalUtf8 takes (UTF8String, Int));
+  // this makes it a plan-time error instead
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"$prettyName expects a STRING payload, got " +
+        child.dataType.simpleString)
+    else if (chunk.dataType != IntegerType)
+      TypeCheckFailure(s"$prettyName expects an INT chunk index, got " +
+        chunk.dataType.simpleString)
+    else TypeCheckSuccess
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PdfGlyphRuns =

@@ -42,20 +42,38 @@ object GraftFunctions {
   def token_spans(text: Column): Column =
     column(TokenSpans(expr(text)))
 
+  /** Exact-arity gate for SQL registration (review fix: `exprs.head`
+    * builders silently DROPPED surplus arguments — e.g. a misremembered
+    * html_blocks(text, limit) analyzed fine and ignored the limit).
+    */
+  private def arity[T](name: String, ns: Set[Int])(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => T)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): T = {
+    require(ns.contains(exprs.length),
+      s"$name expects ${ns.toSeq.sorted.mkString(" or ")} argument(s), " +
+        s"got ${exprs.length}")
+    f(exprs)
+  }
+
   /** Register the expressions for SQL use (`SELECT html_blocks(text)…`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "html_blocks", exprs => HtmlBlocks(exprs.head), "built-in")
+      "html_blocks",
+      arity("html_blocks", Set(1))(exprs => HtmlBlocks(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      "pdf_glyph_runs", exprs =>
-        if (exprs.length >= 2) PdfGlyphRuns(exprs.head, exprs(1))
-        else PdfGlyphRuns(exprs.head), "built-in")
+      "pdf_glyph_runs",
+      arity("pdf_glyph_runs", Set(1, 2))(exprs =>
+        if (exprs.length == 2) PdfGlyphRuns(exprs.head, exprs(1))
+        else PdfGlyphRuns(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      "simhash64", exprs => Simhash(exprs.head), "built-in")
+      "simhash64",
+      arity("simhash64", Set(1))(exprs => Simhash(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      "kie_best", exprs => KieBest(exprs.head), "built-in")
+      "kie_best",
+      arity("kie_best", Set(1))(exprs => KieBest(exprs.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      "token_spans", exprs => TokenSpans(exprs.head), "built-in")
+      "token_spans",
+      arity("token_spans", Set(1))(exprs => TokenSpans(exprs.head)), "built-in")
   }
 }

@@ -335,6 +335,11 @@ object Extract {
     val truncated =
       when(fmt === "pdf",
         size(col("__pr")) === pdfCap && col("__cand") > pdfCap)
+        // the size conjunct is NOT the truncation invariant (capCur >= 0
+        // already implies the cap fired — HtmlBlocks sets cap_cursor
+        // only when it emitted exactly MaxBlocks): it is the ANSI
+        // short-circuit guard for element_at(__hb, -1), which THROWS on
+        // an empty array (script-only / empty html payloads)
         .when(fmt === "html",
           size(col("__hb")) === graft.expressions.HtmlBlocks.MaxBlocks &&
             capCur >= 0 && capCur < contentEnd(raw))

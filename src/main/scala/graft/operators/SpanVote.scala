@@ -64,8 +64,12 @@ object SpanVote {
       col("start").cast("int").as("start"), col("end").cast("int").as("end"))
     val t = checkpointDir match {
       case Some(dir) =>
-        val path = s"$dir/spanvote_tokens"
-        t0.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        // unique subdir per invocation (review fix: a FIXED subpath +
+        // Overwrite let a second vote() on the same dir delete the
+        // parquet under the first call's still-lazy result). The caller
+        // owns the dir's lifecycle; each call adds one subdir.
+        val path = s"$dir/spanvote_tokens_${java.util.UUID.randomUUID()}"
+        t0.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(path)
         tokens.sparkSession.read.parquet(path)
       case None =>
         t0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

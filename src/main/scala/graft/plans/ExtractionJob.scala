@@ -97,8 +97,13 @@ object ExtractionJob {
       case None => todo0
     }
 
-    val extracted = Extract(todo.drop("bucket"))
-      .withColumn("bucket", bExpr)
+    // bucket is computed ONCE on the input and passed THROUGH the
+    // extraction (review fix: the earlier drop-and-recompute evaluated
+    // bucketExpr a second time on Extract's OUTPUT, where any key not a
+    // pure function of (conv_id, turn_idx) either fails analysis — the
+    // output lacks role/tool/ts — or silently disagrees with the resume
+    // filter's pre-Extract value, breaking exactly-once on resume)
+    val extracted = Extract(todo, Seq("bucket"))
       .repartition(cfg.numBuckets, col("bucket"))
       // bucket LEADS the sort key: the dynamic-partition file writer
       // requires rows ordered by the partition columns and would insert

@@ -129,8 +129,16 @@ class SpanVoteSpec extends SparkSpecBase {
       val checkpointed = SpanVote.vote(in, checkpointDir = Some(dir.toString))
         .orderBy("row_id", "start", "end").collect().toSeq
       assert(checkpointed === persisted)
-      // the durable copy actually exists where promised
-      assert(new java.io.File(s"$dir/spanvote_tokens").exists())
+      // the durable copy actually exists where promised (one unique
+      // subdir per invocation — a second vote() must not overwrite the
+      // first call's still-lazy result)
+      def ckptDirs() = Option(dir.toFile.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("spanvote_tokens_"))
+      assert(ckptDirs().length === 1)
+      val again = SpanVote.vote(in, checkpointDir = Some(dir.toString))
+        .orderBy("row_id", "start", "end").collect().toSeq
+      assert(again === persisted)
+      assert(ckptDirs().length === 2)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
