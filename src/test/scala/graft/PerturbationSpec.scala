@@ -144,10 +144,23 @@ class PerturbationSpec extends SparkSpecBase {
         .select(levenshtein(col("a"), col("b"))).head().getInt(0)
       1.0 - d.toDouble / math.max(out.length, golden.length)
     }
+    info(s"degradation curve: ${accs.mkString(", ")}")
     assert(accs.head === 1.0) // clean input: exact
     accs.sliding(2).foreach { w =>
       assert(w(1) <= w(0) + 1e-9, s"non-monotone degradation curve: $accs")
     }
     assert(accs.last < 0.9, s"severe noise should cost real accuracy: $accs")
+    // Golden curve (the analog of the reference's committed
+    // `confidence_accuracy_analysis.json`): every input above is
+    // deterministic, so the exact per-severity accuracies are pinned —
+    // edit distances 0/30/56/85/110 over a 266-char golden text. Any
+    // drift in the plain path's normalization/correction shows up here
+    // as a value change, not just a broken monotonicity shape.
+    val goldenCurve = Seq(
+      1.0, 236.0 / 266, 210.0 / 266, 181.0 / 266, 156.0 / 266)
+    accs.zip(goldenCurve).zipWithIndex.foreach { case ((a, g), sev) =>
+      assert(math.abs(a - g) < 1e-12,
+        s"severity $sev drifted from golden: $a vs $g (curve $accs)")
+    }
   }
 }
