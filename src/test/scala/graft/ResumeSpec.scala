@@ -143,6 +143,41 @@ class ResumeSpec extends SparkSpecBase {
     assert(all.filter(col("turns_truncated").isNotNull).count() === 2)
   }
 
+  test("salting splits a mega-conversation across buckets; order survives") {
+    import spark.implicits._
+    // north_rule skew clause: one conversation with 16 salt-chunks of
+    // turns must NOT serialize into a single bucket/task — the salted
+    // key hash(conv_id, turn_idx/saltChunk) spreads the chunks, while
+    // each chunk stays whole (per-turn work never splits mid-chunk) and
+    // the conversation reassembles exactly by (conv_id, turn_idx).
+    val cfg = Config(tmp(), numBuckets = 8, saltChunk = 64)
+    val mega = (0 until 16 * 64).map(i =>
+      ("mega", i, "user", s"turn $i with some plain words", null: String))
+    val small = (0 until 10).map(i =>
+      (s"c$i", 0, "user", "tiny turn", null: String))
+    val in = spark.createDataFrame(mega ++ small)
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+    ExtractionJob.run(spark, in, cfg)
+    val out = ExtractionJob.output(spark, cfg).filter($"conv_id" === "mega")
+
+    val buckets = out.select("bucket").distinct().count()
+    assert(buckets >= 2, s"mega-conversation serialized into $buckets bucket")
+    // no bucket hoards the conversation: the largest share is bounded by
+    // its chunk assignment, strictly below the whole conversation
+    val maxShare = out.groupBy("bucket").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxShare < 16L * 64, s"one bucket holds all $maxShare turns")
+    // chunks stay whole: every saltChunk-run of turns maps to ONE bucket
+    val splitChunks = out
+      .groupBy(floor($"turn_idx" / 64).as("chunk"))
+      .agg(countDistinct("bucket").as("nb")).filter($"nb" > 1).count()
+    assert(splitChunks === 0, "a salt chunk split across buckets")
+    // lossless reassembly in stable turn order
+    val turns = out.orderBy("turn_idx").select("turn_idx")
+      .as[Int].collect().toSeq
+    assert(turns === (0 until 16 * 64))
+  }
+
   test("output ordering is stable within (bucket) partitions") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 1000L), cfg)
