@@ -62,7 +62,19 @@ class PerturbationSpec extends SparkSpecBase {
   test("no variant throws; statuses stay in the contract set") {
     val all = htmlVariants.map(_._2) ++ Seq(
       confuse(cleanPlain), whitespaceMangle(cleanPlain), truncate(cleanPdf),
-      whitespaceMangle(cleanPdf), entityEncode(cleanPlain), "", "   \t\n")
+      whitespaceMangle(cleanPdf), entityEncode(cleanPlain), "", "   \t\n",
+      // hostile-input probes (adversarial shell sweep, round 5): lone
+      // surrogates, NUL bytes, 400-deep tag nesting, an unterminated
+      // attribute quote, Int.MinValue / near-overflow glyph coords —
+      // none may throw, all must land in the contract status set
+      "\ud800 lone surrogate \udfff",
+      "nul \u0000 char and bidi \u202e override \u202c text",
+      "<html>" + ("<div>" * 400) +
+        "<p>deep content words here one two three</p>" +
+        ("</div>" * 400) + "</html>",
+      "<p title=\"unterminated>words in broken attr</p><p>real block</p>",
+      "%PDF-1.4\nG -2147483648 2147483647 12 overflowy\nG 10 20 12 ok",
+      "%PDF-1.4\nG 999999999 999999999 999999999 huge")
     all.foreach { v =>
       val r = extractOne(v)
       assert(Set("success", "fallback", "blank").contains(r.getAs[String]("status")))
