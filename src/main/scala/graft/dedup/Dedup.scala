@@ -357,14 +357,23 @@ object Dedup {
     * [[cosinePrenormed]] inside joins — norms belong OUTSIDE the pair
     * join (computed once per vector, not once per pair; measured 3× on
     * the all-pairs query).
+    *
+    * Zero-norm (or NaN) vectors score 0.0 to everything instead of
+    * raising ANSI DIVIDE_BY_ZERO: at 10^12 rows one corrupt/all-zero
+    * embedding must degrade to "similar to nothing", not kill the job
+    * (adversarial probe, round 5). For every nonzero-norm pair the
+    * guard is value-transparent, so the DuckDB twins' plain division
+    * stays hash-identical.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    cosinePrenormed(a, b, sqrt(dot(a, a)), sqrt(dot(b, b)))
 
-  /** cosine given pre-computed norms. */
+  /** cosine given pre-computed norms (0.0 when either norm is 0/NaN). */
   def cosinePrenormed(a: Column, b: Column, normA: Column,
-      normB: Column): Column =
-    dot(a, b) / (normA * normB)
+      normB: Column): Column = {
+    val denom = normA * normB
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
 
   /** Embedding-cosine near-dup pairs (a<b) with cosine ≥ threshold —
     * EXACT results via a block-partitioned all-pairs join (the standard

@@ -47,7 +47,13 @@ object Ann {
   private def planeDots(v: Column, planes: Int, dim: Int): Column =
     array((0 until planes).map { p =>
       (0 until dim).map(d =>
-        element_at(v, d + 1) * planeComponent(p, d)).reduce(_ + _)
+        // try_element_at: a vector shorter than `dim` (corrupt row at
+        // 10^12 scale) contributes 0 for its missing components —
+        // mirroring VecDot's shorter-length-wins contract — instead of
+        // raising ANSI INVALID_ARRAY_INDEX and killing the job; for
+        // full-length vectors the value is identical
+        coalesce(try_element_at(v, lit(d + 1)), lit(0.0))
+          * planeComponent(p, d)).reduce(_ + _)
     }: _*)
 
   /** sign-bit bucket id from a staged margin array */

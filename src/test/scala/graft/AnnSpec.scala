@@ -48,6 +48,23 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("zero-norm and short vectors degrade to cos 0, never throw (ANSI)") {
+    import spark.implicits._
+    // a corrupt all-zero or truncated embedding at 10^12 rows must not
+    // raise DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX; it ranks with cos 0.0
+    val c = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(0.0f, 0.0f)), (11L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bf = Ann.bruteForceTopK(c, q, k = 2).collect()
+    val zeroQ = bf.filter(_.getAs[Long]("query_id") == 10L)
+    assert(zeroQ.length === 2 &&
+      zeroQ.forall(_.getAs[Double]("cos") === 0.0))
+    // short vector vs dim=8 planes: missing components contribute 0
+    val short = Ann.lshTopK(c, q, k = 2, planes = 3, dim = 8).collect()
+    assert(short.forall(r => !r.getAs[Double]("cos").isNaN))
+  }
+
   test("lshTopK returns a subset of candidates with exact cosines") {
     val exact = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 4), k = 99)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->

@@ -133,6 +133,24 @@ class DedupSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("zero-norm embeddings score 0, never throw, never pair (ANSI)") {
+    // one corrupt all-zero vector at 10^12 rows must not raise
+    // DIVIDE_BY_ZERO under ANSI mode; it is "similar to nothing"
+    val e = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(e, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 4L)))
+    val cos = e.select(Dedup.cosine(
+      col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cos.toSeq === Seq(0.0, 0.0, 1.0, 1.0)) // self-cos of zero vec = 0
+  }
+
   test("native ShingleHashes equals the declarative slice-hash pipeline") {
     val df = Seq(base, base + " phi chi", "a b", "", "single",
       "  spaced   out\ttokens ", "\ttab lead", "trail ws \n")
