@@ -103,6 +103,9 @@ object Calibration {
     val rows = validation
       .select(col(pathCol), col(confCol).cast("double"),
         col(correctCol).cast("double"))
+      // unlabeled/corrupt validation rows are skipped, not NPE'd: a null
+      // conf or label would throw in the driver-side getDouble below
+      .na.drop(Seq(pathCol, confCol, correctCol))
       .collect()
     rows.groupBy(_.getString(0))
       .filter(_._2.length >= minSamples)

@@ -75,7 +75,14 @@ object TextAnalysis {
     val mtlScore = greatest(lit(0.0), lit(1.0) - abs(mtl - 5.0) / 5.0)
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2 + stopScore * 0.3, 6)
+    // NULL text pins to 0.0 explicitly: least/greatest SKIP nulls (both
+    // here and in DuckDB), so without the guard a null document's
+    // null-poisoned components vanish and the score lands at 0.6 →
+    // tier "medium" — a missing payload must route as very_low, not
+    // medium (adversarial probe, round 5)
+    when(text.isNull, lit(0.0)).otherwise(
+      round(lenScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2
+        + stopScore * 0.3, 6))
   }
 
   /** quality tier from the score — mirrors QualityTier
@@ -154,7 +161,12 @@ object TextAnalysis {
         val mtlScore = greatest(lit(0.0), lit(1.0) - abs(col("__mtl") - 5.0) / 5.0)
         val punctScore = greatest(lit(0.0), lit(1.0) - col("__punct") * 4.0)
         val stopScore = least(col("__stopr") * 5.0, lit(1.0))
-        round(lenScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2 + stopScore * 0.3, 6)
+        // same NULL-text pin as qualityScore: least/greatest skip the
+        // null-poisoned components, which otherwise lands null text at
+        // 0.6 → "medium"
+        when(t.isNull, lit(0.0)).otherwise(
+          round(lenScore * 0.3 + mtlScore * 0.2 + punctScore * 0.2
+            + stopScore * 0.3, 6))
       })
       .withColumn("__lang", {
         val hits = langMarkers.map { case (l, ms) =>
@@ -206,8 +218,8 @@ object TextAnalysis {
     val mtlScore = s"greatest(0.0, 1.0 - abs(($mtl) - 5.0)/5.0)"
     val punctScore = s"greatest(0.0, 1.0 - ($punct)*4.0)"
     val stopScore = s"least(($stopRatio)*5.0, 1.0)"
-    val quality =
-      s"round(($lenScore)*0.3 + ($mtlScore)*0.2 + ($punctScore)*0.2 + ($stopScore)*0.3, 6)"
+    val quality = // NULL text pins to 0.0, mirroring qualityScore's guard
+      s"CASE WHEN text IS NULL THEN 0.0 ELSE round(($lenScore)*0.3 + ($mtlScore)*0.2 + ($punctScore)*0.2 + ($stopScore)*0.3, 6) END"
     val tier =
       s"CASE WHEN q >= 0.8 THEN 'high' WHEN q >= 0.6 THEN 'medium' WHEN q >= 0.4 THEN 'low' ELSE 'very_low' END"
     val hitExprs = langMarkers.map { case (l, ms) =>

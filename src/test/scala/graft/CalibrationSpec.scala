@@ -79,6 +79,24 @@ class CalibrationSpec extends SparkSpecBase {
     assert(out("html") >= 0.0 && out("html") <= 1.0)
   }
 
+  test("fit skips unlabeled/corrupt validation rows instead of NPE-ing") {
+    val df = ((1 to 20).map(i =>
+      ("html", java.lang.Double.valueOf(i / 20.0),
+        java.lang.Double.valueOf(i % 2))) ++ Seq(
+      ("html", null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(1.0)),
+      ("html", java.lang.Double.valueOf(0.5),
+        null.asInstanceOf[java.lang.Double]),
+      (null.asInstanceOf[String], java.lang.Double.valueOf(0.5),
+        java.lang.Double.valueOf(1.0))))
+      .toDF("path", "confidence", "correct")
+    val clean = Calibration.fit(df.na.drop())
+    val models = Calibration.fit(df) // must not throw on the null rows
+    assert(models.keySet === Set("html"))
+    assert(models("html").xs.toSeq === clean("html").xs.toSeq)
+    assert(models("html").ys.toSeq === clean("html").ys.toSeq)
+  }
+
   test("calibrated confidence is monotone in raw confidence") {
     val rng = new scala.util.Random(11)
     val pts = Seq.fill(60)((rng.nextDouble(), if (rng.nextBoolean()) 1.0 else 0.0))

@@ -48,6 +48,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     })
   }
 
+  test("null text scores 0.0 / very_low, never medium") {
+    // least/greatest SKIP nulls, so without the explicit guard a null
+    // document's score landed at 0.6 → "medium" (round-5 probe); a
+    // missing payload must route as very_low
+    val r = TextAnalysis.analyze(
+      Seq((0L, null: String), (1L, "")).toDF("doc_id", "text")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("quality"), x.getAs[String]("tier"))).toMap
+    assert(r(0L) === ((0.0, "very_low")))
+    assert(r(1L)._2 === "very_low")
+  }
+
   test("fingerprint matches the reference rolling-hash computed in Scala") {
     val s = "abc xyz"
     val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
