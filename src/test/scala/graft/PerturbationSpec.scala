@@ -81,6 +81,27 @@ class PerturbationSpec extends SparkSpecBase {
     }
   }
 
+  test("null transcript fields route to blank / pass through, never throw") {
+    // missing-payload rows exist in any 10^12-turn table; Extract must
+    // route them as blank (NOT parse-crash or misclassify), and null
+    // identity columns must flow through untouched for the caller's
+    // bucketing (hash() skips null inputs, so the bucket key stays total)
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("c1", 0, "user", null: String, null: String),
+      ("c2", 0, "tool", null: String, null: String),
+      (null: String, 0, "user", "<p>words here</p>", null: String),
+      ("c3", 1, null: String, "plain words", null: String))
+    val out = Extract(rows.toDF(
+        "conv_id", "turn_idx", "role", "text", "tool"))
+      .collect().map(r => Option(r.getAs[String]("conv_id")) ->
+        (r.getAs[String]("path"), r.getAs[String]("status"))).toMap
+    assert(out(Some("c1")) === (("blank", "blank")))
+    assert(out(Some("c2")) === (("blank", "blank")))
+    assert(out(None)._1 === "html") // null conv_id preserved, row kept
+    assert(out(Some("c3"))._1 === "plain") // null role does not gate the text path
+  }
+
   test("spans stay inside the raw payload for every variant") {
     val all = htmlVariants.map(_._2) ++ Seq(confuse(cleanPlain), truncate(cleanPdf))
     all.foreach { v =>

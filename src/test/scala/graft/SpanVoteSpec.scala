@@ -58,6 +58,31 @@ class SpanVoteSpec extends SparkSpecBase {
     assert(out.head.getAs[String]("text") === "wide token here")
   }
 
+  test("null/degenerate token fields never throw; malformed spans are dropped") {
+    // a multi-engine token stream over real transcripts WILL contain
+    // rows with missing text/conf and corrupt offsets; the election must
+    // stay total: null conf weighs 0 (not null-poison the sum), null or
+    // inverted offsets drop the token (they describe no span), and the
+    // surviving cluster still elects
+    val df = Seq(
+      (1L, "e1", "word", java.lang.Double.valueOf(0.9),
+        java.lang.Integer.valueOf(0), java.lang.Integer.valueOf(4)),
+      (1L, "e2", null: String, null: java.lang.Double,
+        java.lang.Integer.valueOf(0), java.lang.Integer.valueOf(4)),
+      (1L, "e3", "word", java.lang.Double.valueOf(0.8),
+        null: java.lang.Integer, null: java.lang.Integer),
+      (2L, "e1", "x", java.lang.Double.valueOf(0.5),
+        java.lang.Integer.valueOf(2), java.lang.Integer.valueOf(1)))
+      .toDF("row_id", "engine", "text", "conf", "start", "end")
+    val out = SpanVote.vote(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("row_id") === 1L)
+    assert(r.getAs[String]("text") === "word")
+    assert(r.getAs[Int]("cluster_size") === 2) // e1 + the null-text token
+    assert(math.abs(r.getAs[Double]("score") - 0.45) < 1e-9) // (0.9+0.0)/2
+  }
+
   test("native tokenSpans equals the declarative running-sum spec") {
     import graft.functions.TextFunctions.{tokenSpans, tokenSpansDeclarative}
     val cases = Seq(
