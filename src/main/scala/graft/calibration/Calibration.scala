@@ -104,8 +104,14 @@ object Calibration {
       .select(col(pathCol), col(confCol).cast("double"),
         col(correctCol).cast("double"))
       // unlabeled/corrupt validation rows are skipped, not NPE'd: a null
-      // conf or label would throw in the driver-side getDouble below
+      // conf or label would throw in the driver-side getDouble below,
+      // and a non-finite one would poison the fit (NaN sorts past every
+      // conf, so it lands in a PAV pool whose mean — and every
+      // calibrated confidence interpolated from it — turns NaN)
       .na.drop(Seq(pathCol, confCol, correctCol))
+      .filter(!isnan(col(confCol).cast("double")) &&
+        abs(col(confCol).cast("double")) =!= Double.PositiveInfinity &&
+        !isnan(col(correctCol).cast("double")))
       .collect()
     rows.groupBy(_.getString(0))
       .filter(_._2.length >= minSamples)

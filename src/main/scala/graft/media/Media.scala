@@ -49,7 +49,11 @@ object Media {
       sniffKind(bin).as("kind"),
       when(known, beUint(bin, 5, 2)).as("width"),
       when(known, beUint(bin, 7, 2)).as("height"),
-      (length(bin) - 8).cast("long").as("payload_bytes"),
+      // clamped at 0: a blob truncated INSIDE its 8-byte header would
+      // otherwise report a negative payload size (hostile-input probe,
+      // round 5); the x17 twin builds payload_bytes from the generator's
+      // frame count (always >= 0), so the clamp is value-transparent
+      greatest(length(bin) - 8, lit(0)).cast("long").as("payload_bytes"),
       when(known, floor((length(bin) - 8) / FrameBytes)).as("n_frames"))
   }
 

@@ -97,6 +97,26 @@ class CalibrationSpec extends SparkSpecBase {
     assert(models("html").ys.toSeq === clean("html").ys.toSeq)
   }
 
+  test("fit drops non-finite confidences and labels; model stays finite") {
+    // NaN sorts past every finite conf, so unfiltered it lands in a PAV
+    // pool whose mean (and every interpolated calibrated confidence)
+    // turns NaN; +/-Inf would become model knots
+    val df = ((1 to 20).map(i =>
+      ("html", i / 20.0, (i % 2).toDouble)) ++ Seq(
+      ("html", Double.NaN, 1.0),
+      ("html", Double.PositiveInfinity, 0.0),
+      ("html", Double.NegativeInfinity, 1.0),
+      ("html", 0.5, Double.NaN)))
+      .toDF("path", "confidence", "correct")
+    val m = Calibration.fit(df)("html")
+    assert(m.xs.forall(java.lang.Double.isFinite))
+    assert(m.ys.forall(java.lang.Double.isFinite))
+    val clean = Calibration.fit(df.filter(
+      !isnan($"confidence") && abs($"confidence") =!= Double.PositiveInfinity
+        && !isnan($"correct")))("html")
+    assert(m.xs.toSeq === clean.xs.toSeq && m.ys.toSeq === clean.ys.toSeq)
+  }
+
   test("calibrated confidence is monotone in raw confidence") {
     val rng = new scala.util.Random(11)
     val pts = Seq.fill(60)((rng.nextDouble(), if (rng.nextBoolean()) 1.0 else 0.0))

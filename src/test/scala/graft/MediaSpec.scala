@@ -32,6 +32,28 @@ class MediaSpec extends SparkSpecBase {
     }
   }
 
+  test("truncated/empty/null binaries: no throw, payload_bytes never negative") {
+    // blobs cut INSIDE their 8-byte header exist in any real media
+    // table; decode must report kind=unknown with payload_bytes 0 (the
+    // unclamped length(bin)-8 read -6/-8/-4 — round-5 probe), and the
+    // whole process() projection must stay total
+    val df = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50)),
+      (2L, Array.empty[Byte]),
+      (3L, null: Array[Byte]),
+      (4L, Array[Byte](0x52, 0x49, 0x46, 0x46)))
+      .toDF("media_id", "bin")
+    val out = Media.process(df).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val m = r.getStruct(r.fieldIndex("meta"))
+      assert(m.getAs[String]("kind") === "unknown")
+      if (!m.isNullAt(m.fieldIndex("payload_bytes")))
+        assert(m.getAs[Long]("payload_bytes") === 0L)
+      assert(r.getAs[Int]("n_sampled") === 0)
+    }
+  }
+
   test("frame sampling takes every stride-th frame") {
     val df = MediaGen.mediaDf(spark, 50L)
     val out = df.select(col("media_id"),
