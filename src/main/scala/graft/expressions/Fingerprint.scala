@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling polynomial fingerprint `fold(acc·31 + char) mod 1e9+7` as ONE
@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * BMP, astral-pair and lone-surrogate inputs. The DuckDB twin in
   * `TextAnalysis.oracle` is unchanged (codepoint semantics there too).
   */
-case class Fingerprint(child: Expression) extends UnaryExpression {
+case class Fingerprint(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -33,7 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * span and route rows through the interpreted path). Per-row cost is
   * linear in payload size.
   */
-case class HtmlBlocks(child: Expression) extends UnaryExpression {
+case class HtmlBlocks(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = HtmlBlocks.outType
   override def nullIntolerant: Boolean = true

@@ -4,7 +4,7 @@ import java.util.Locale
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * join → lower → contains chain per token per field through interpreted
   * eval (~4 ms/row measured at sf0.1); this walks the token array once.
   */
-case class KieBest(child: Expression) extends UnaryExpression {
+case class KieBest(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = KieBest.outType
   override def nullIntolerant: Boolean = true

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * via `shingleHashes`, which never returns an empty array).
   */
 case class MinhashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true

@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * spaces. Blank/null gating stays OUTSIDE in
   * [[graft.functions.TextFunctions.plainNormalize]].
   */
-case class PlainNormalize(child: Expression) extends UnaryExpression {
+case class PlainNormalize(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

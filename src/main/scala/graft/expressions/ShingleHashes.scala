@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hashed w-token shingles of whitespace-tokenized text as ONE native
@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * elements, seeded 42); fewer than w tokens → one hash of the
   * space-joined text.
   */
-case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

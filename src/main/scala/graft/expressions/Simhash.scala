@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the graft-side LLM-data-pipeline operator family (builder prompt);
   * hashing role as in `pipeline.py:2580-2585` (sha256 lineage hashes).
   */
-case class Simhash(child: Expression) extends UnaryExpression {
+case class Simhash(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

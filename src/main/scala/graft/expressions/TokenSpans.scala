@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (offsets in the single-space-joined string); end = start + numChars.
   * Lengths count Unicode code points, matching Spark `length`.
   */
-case class TokenSpans(child: Expression) extends UnaryExpression {
+case class TokenSpans(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = TokenSpans.OutType
   override def nullIntolerant: Boolean = true

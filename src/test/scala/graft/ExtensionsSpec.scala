@@ -31,6 +31,25 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ts === Seq(("a", 0, 1), ("bb", 2, 4)))
       // catalog-visible (not just a temp function)
       assert(s.catalog.functionExists("vec_dot"))
+
+      // type contracts (round-5 probe): mistyped args must fail at
+      // ANALYSIS with DATATYPE_MISMATCH, not reach eval as a
+      // ClassCastException — and never as silent garbage
+      // (ArrayData.getDouble over an array<float> reads wrong bytes)
+      for (bad <- Seq(
+          "SELECT simhash64(ARRAY())",
+          "SELECT vec_dot('abc', ARRAY(1.0D))",
+          "SELECT html_blocks(ARRAY(1, 2))")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException](
+          s.sql(bad).collect())
+        assert(e.getMessage.contains("DATATYPE_MISMATCH"), bad)
+      }
+      // legal coercions insert casts: array<float> -> array<double>,
+      // atomic -> string
+      assert(s.sql("SELECT vec_dot(ARRAY(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), ARRAY(2.0D, 3.0D)) AS d")
+        .head().getAs[Double]("d") === 9.0)
+      assert(s.sql("SELECT simhash64(123) = simhash64('123') AS eq")
+        .head().getAs[Boolean]("eq"))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
