@@ -111,7 +111,10 @@ object Calibration {
       .na.drop(Seq(pathCol, confCol, correctCol))
       .filter(!isnan(col(confCol).cast("double")) &&
         abs(col(confCol).cast("double")) =!= Double.PositiveInfinity &&
-        !isnan(col(correctCol).cast("double")))
+        !isnan(col(correctCol).cast("double")) &&
+        // an Inf LABEL poisons a pool mean to Inf just like NaN: ys.last
+        // = Inf would make threshold() report every target as met
+        abs(col(correctCol).cast("double")) =!= Double.PositiveInfinity)
       .collect()
     rows.groupBy(_.getString(0))
       .filter(_._2.length >= minSamples)

@@ -44,16 +44,25 @@ object Media {
     * pure expressions. Unknown payloads yield null dims, not exceptions.
     */
   def decodeStub(bin: Column): Column = {
-    val known = sniffKind(bin) =!= "unknown"
+    // header fields decode only when the FULL 8-byte header survives: a
+    // valid-magic blob truncated inside its header would otherwise read
+    // a partial big-endian width and a negative n_frames (review finding
+    // on the first clamp, which gated on magic alone). kind still
+    // reports what the magic says — the sniff is honest about a
+    // truncated-but-recognizable container.
+    val known = sniffKind(bin) =!= "unknown" && length(bin) >= 8
     struct(
       sniffKind(bin).as("kind"),
       when(known, beUint(bin, 5, 2)).as("width"),
       when(known, beUint(bin, 7, 2)).as("height"),
-      // clamped at 0: a blob truncated INSIDE its 8-byte header would
-      // otherwise report a negative payload size (hostile-input probe,
-      // round 5); the x17 twin builds payload_bytes from the generator's
-      // frame count (always >= 0), so the clamp is value-transparent
-      greatest(length(bin) - 8, lit(0)).cast("long").as("payload_bytes"),
+      // clamped at 0 for header-truncated blobs, but NULL bin stays NULL
+      // (greatest SKIPS nulls, so the bare clamp would silently turn
+      // 'blob absent' into 'empty payload'); the x17 twin builds
+      // payload_bytes from the generator's frame count (always >= 0 over
+      // full headers), so both guards are value-transparent there
+      when(bin.isNotNull, greatest(length(bin) - 8, lit(0)))
+        .cast("long").as("payload_bytes"),
+      // known implies length >= 8, so this floor is already >= 0
       when(known, floor((length(bin) - 8) / FrameBytes)).as("n_frames"))
   }
 

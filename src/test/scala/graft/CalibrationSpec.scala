@@ -106,14 +106,20 @@ class CalibrationSpec extends SparkSpecBase {
       ("html", Double.NaN, 1.0),
       ("html", Double.PositiveInfinity, 0.0),
       ("html", Double.NegativeInfinity, 1.0),
-      ("html", 0.5, Double.NaN)))
+      ("html", 0.5, Double.NaN),
+      // an Inf LABEL poisons a pool mean to Inf: ys.last = Inf makes
+      // threshold() report every target as met (review finding on the
+      // first filter, which only screened the confidence column)
+      ("html", 0.5, Double.PositiveInfinity)))
       .toDF("path", "confidence", "correct")
     val m = Calibration.fit(df)("html")
     assert(m.xs.forall(java.lang.Double.isFinite))
     assert(m.ys.forall(java.lang.Double.isFinite))
+    assert(Calibration.threshold(m, 0.99) === None) // Inf label screened
     val clean = Calibration.fit(df.filter(
       !isnan($"confidence") && abs($"confidence") =!= Double.PositiveInfinity
-        && !isnan($"correct")))("html")
+        && !isnan($"correct") && abs($"correct") =!= Double.PositiveInfinity))(
+      "html")
     assert(m.xs.toSeq === clean.xs.toSeq && m.ys.toSeq === clean.ys.toSeq)
   }
 

@@ -34,24 +34,38 @@ class MediaSpec extends SparkSpecBase {
 
   test("truncated/empty/null binaries: no throw, payload_bytes never negative") {
     // blobs cut INSIDE their 8-byte header exist in any real media
-    // table; decode must report kind=unknown with payload_bytes 0 (the
-    // unclamped length(bin)-8 read -6/-8/-4 — round-5 probe), and the
-    // whole process() projection must stay total
+    // table (the unclamped length(bin)-8 read -6/-8/-4 — round-5
+    // probe). Rows 1/2/4: bad magic → unknown, payload_bytes 0. Row 5
+    // is the case the first clamp missed (review finding): VALID magic
+    // truncated mid-header — kind honestly reports "image" but
+    // width/height/n_frames must be null (a partial big-endian read
+    // and floor((5-8)/16) = -1 before the full-header gate). Row 3:
+    // NULL blob keeps a NULL payload_bytes — 'absent' must stay
+    // distinguishable from 'header-only' (greatest skips nulls; the
+    // bare clamp silently turned NULL into 0).
     val df = Seq(
       (1L, Array[Byte](0x89.toByte, 0x50)),
       (2L, Array.empty[Byte]),
       (3L, null: Array[Byte]),
-      (4L, Array[Byte](0x52, 0x49, 0x46, 0x46)))
+      (4L, Array[Byte](0x52, 0x49, 0x46, 0x46)),
+      (5L, Array[Byte]('G', 'I', 'M', '0', 0x01)))
       .toDF("media_id", "bin")
     val out = Media.process(df).collect()
-    assert(out.length === 4)
-    out.foreach { r =>
-      val m = r.getStruct(r.fieldIndex("meta"))
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.size === 5)
+    Seq(1L, 2L, 4L).foreach { id =>
+      val m = out(id).getStruct(out(id).fieldIndex("meta"))
       assert(m.getAs[String]("kind") === "unknown")
-      if (!m.isNullAt(m.fieldIndex("payload_bytes")))
-        assert(m.getAs[Long]("payload_bytes") === 0L)
-      assert(r.getAs[Int]("n_sampled") === 0)
+      assert(m.getAs[Long]("payload_bytes") === 0L)
     }
+    val m3 = out(3L).getStruct(out(3L).fieldIndex("meta"))
+    assert(m3.isNullAt(m3.fieldIndex("payload_bytes")))
+    val m5 = out(5L).getStruct(out(5L).fieldIndex("meta"))
+    assert(m5.getAs[String]("kind") === "image")
+    assert(m5.isNullAt(m5.fieldIndex("width")))
+    assert(m5.isNullAt(m5.fieldIndex("n_frames")))
+    assert(m5.getAs[Long]("payload_bytes") === 0L)
+    out.values.foreach(r => assert(r.getAs[Int]("n_sampled") === 0))
   }
 
   test("frame sampling takes every stride-th frame") {
