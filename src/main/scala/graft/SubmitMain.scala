@@ -19,13 +19,15 @@ import graft.plans.ExtractionJob
   * Re-running with the same `<outDir>` resumes from the manifest:
   * completed buckets are skipped (left-anti join), partial buckets are
   * overwritten atomically via dynamic partition overwrite — kill the
-  * job at any point and re-submit to finish it.
+  * job at any point and re-submit to finish it. Pass `[waveBuckets]` to
+  * commit in waves of that many buckets, so a kill loses at most one
+  * wave instead of the whole run.
   */
 object SubmitMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: spark-submit --class graft.SubmitMain <jar> " +
-        "<inputParquet|gen:N> <outDir> [numBuckets]")
+        "<inputParquet|gen:N> <outDir> [numBuckets] [waveBuckets]")
     val spark = SparkSession.builder()
       .appName("graft-extract")
       .getOrCreate()
@@ -35,7 +37,10 @@ object SubmitMain {
           gen.TranscriptGen.inputDf(spark, args(0).stripPrefix("gen:").toLong)
         else spark.read.parquet(args(0))
       val cfg = ExtractionJob.Config(outDir = args(1),
-        numBuckets = if (args.length > 2) args(2).toInt else 32)
+        numBuckets = if (args.length > 2) args(2).toInt else 32,
+        // wave-commit granularity: bound a mid-run kill's blast radius
+        // to waveBuckets buckets (see ExtractionJob.run scaladoc)
+        waveBuckets = if (args.length > 3) Some(args(3).toInt) else None)
       val manifest = ExtractionJob.run(spark, input, cfg)
       // one summary line per bucket completed by THIS run (resume-aware:
       // an already-complete run prints nothing here)

@@ -36,12 +36,21 @@ object ExtractionJob {
     *   key for time-partitioned reruns); must be deterministic in the
     *   input row — resume identity depends on the same row mapping to
     *   the same bucket across runs. Default: [[bucketCol]].
+    * @param waveBuckets commit granularity: process at most this many
+    *   buckets per write+manifest commit (a "wave"), so a mid-run kill
+    *   loses only the current wave instead of the whole run — the
+    *   plain-parquet analog of Iceberg's per-snapshot commits. Tradeoff
+    *   documented on [[run]]: each wave re-scans the input (the bucket
+    *   key is computed, not a storage partition), so choose a size that
+    *   yields a handful of waves, not hundreds. None (default) = one
+    *   wave, the single-commit behavior.
     */
   case class Config(
       outDir: String,
       numBuckets: Int = 32,
       saltChunk: Int = 4096,
-      bucketExpr: Option[org.apache.spark.sql.Column] = None)
+      bucketExpr: Option[org.apache.spark.sql.Column] = None,
+      waveBuckets: Option[Int] = None)
 
   /** salted bucket id: hash(conv_id, turn_idx / saltChunk) mod numBuckets */
   def bucketCol(numBuckets: Int, saltChunk: Int) =
@@ -75,9 +84,39 @@ object ExtractionJob {
     *
     * `onlyBuckets` processes a subset — used by tests to simulate a killed
     * run (the manifest then records only those buckets as complete).
+    *
+    * With `cfg.waveBuckets = Some(w)` the todo bucket-id space is split
+    * into waves of `w` and each wave is written + manifest-committed
+    * independently: a SIGKILL mid-run loses at most one wave's work and
+    * a re-submit resumes from the last committed wave (demonstrated at
+    * stress scale in BASELINE.md). Cost model: the wave loop iterates
+    * over the STATIC id range 0 until numBuckets (no extra pass over the
+    * input to discover ids), but each wave's extraction re-scans the
+    * input to filter its buckets out — K waves = K scans. At 100 TB pick
+    * w ≈ numBuckets/4..8; a real Iceberg writer would get per-snapshot
+    * commits without the re-scan.
     */
   def run(spark: SparkSession, input: DataFrame, cfg: Config,
-      onlyBuckets: Option[Seq[Int]] = None): DataFrame = {
+      onlyBuckets: Option[Seq[Int]] = None): DataFrame = cfg.waveBuckets match {
+    case Some(w) =>
+      require(w > 0, s"waveBuckets must be positive, got $w")
+      val candidates = onlyBuckets.getOrElse(0 until cfg.numBuckets).toSeq.sorted
+      // ids actually committed by this run's waves (≤ numBuckets — driver-safe)
+      val written = scala.collection.mutable.ArrayBuffer.empty[Integer]
+      candidates.grouped(w).foreach { wave =>
+        val m = runWave(spark, input, cfg, Some(wave))
+        written ++= m.select("bucket").collect().map(r => Integer.valueOf(r.getInt(0)))
+      }
+      // runWave always creates the manifest dir (even a zero-row append
+      // writes _SUCCESS), so this read is safe after ≥1 wave
+      val all = spark.read.option("mergeSchema", "true").parquet(manifestDir(cfg))
+      if (written.isEmpty) all.filter(lit(false))
+      else all.filter(col("bucket").isin(written.toSeq: _*))
+    case None => runWave(spark, input, cfg, onlyBuckets)
+  }
+
+  private def runWave(spark: SparkSession, input: DataFrame, cfg: Config,
+      onlyBuckets: Option[Seq[Int]]): DataFrame = {
     val t0 = System.currentTimeMillis()
     val bExpr = cfg.bucketExpr.getOrElse(bucketCol(cfg.numBuckets, cfg.saltChunk))
 

@@ -104,6 +104,37 @@ class ResumeSpec extends SparkSpecBase {
     assert(manifest.agg(sum("turns_truncated")).head.getLong(0) === 2L)
   }
 
+  test("wave-commit: staged manifests, kill mid-run loses one wave at most") {
+    val cfgA = Config(tmp(), numBuckets = 8, saltChunk = 64)
+    val cfgW = Config(tmp(), numBuckets = 8, saltChunk = 64,
+      waveBuckets = Some(3)) // 8 buckets → waves {0,1,2},{3,4,5},{6,7}
+    val in = TranscriptGen.inputDf(spark, N)
+
+    // reference: single-commit run
+    ExtractionJob.run(spark, in, cfgA)
+
+    // "killed after two waves": only the first six bucket ids ran
+    val partial = ExtractionJob.run(spark, in, cfgW,
+      onlyBuckets = Some(Seq(0, 1, 2, 3, 4, 5)))
+    assert(partial.select("bucket").distinct().count() === 6)
+
+    // resume (full wave run): only the last wave's buckets process
+    val resumed = ExtractionJob.run(spark, in, cfgW)
+    assert(resumed.select("bucket").distinct().count() === 2)
+
+    val manifest = spark.read.option("mergeSchema", "true")
+      .parquet(ExtractionJob.manifestDir(cfgW))
+    assert(manifest.select("bucket").distinct().count() === 8)
+    assert(manifest.count() === 8) // no bucket committed twice
+
+    // wave-committed table is identical to the single-commit one
+    val a = ExtractionJob.output(spark, cfgA)
+    val b = ExtractionJob.output(spark, cfgW)
+    assert(a.count() === N && b.count() === N)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("third run over a complete table is a no-op") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     val in = TranscriptGen.inputDf(spark, 500L)
