@@ -895,6 +895,16 @@ object SparkEntry {
         .orderBy("path", "conf_bucket")
     }),
 
+    // S5 cache/memo under the value oracle: the routed frame is
+    // persisted between the routing stage and TWO downstream consumers
+    // (the reference ImageCache shape, `pipeline.py:100-191`), so
+    // classify+route runs once — see AdaptiveRoute.routeFanout for the
+    // persist/localCheckpoint/unpersist lifecycle.
+    "x25_cached_route_fanout" -> ((s, dir) =>
+      graft.operators.AdaptiveRoute.routeFanout(
+        spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")))),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -1604,6 +1614,11 @@ object SparkEntry {
              pc.pearson
            FROM b JOIN pc USING (path)
            ORDER BY path, conf_bucket""",
+
+      // cached route fan-out: the routed CTE is the cache twin — both
+      // branch aggregates consume one materialization
+      "x25_cached_route_fanout" ->
+        graft.operators.AdaptiveRoute.fanoutOracle,
 
       // SQL-surface counts: closed-form block/run totals per payload
       // class (HtmlGen §classes: k / k+2 / k+3 / 1 / 1; PdfGen: class 1

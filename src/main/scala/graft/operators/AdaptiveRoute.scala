@@ -98,6 +98,58 @@ object AdaptiveRoute {
   def routeAndExtract(bills: DataFrame, textCol: String = "bill"): DataFrame =
     FieldExtract.withFields(route(bills, textCol), textCol = "routed_text")
 
+  /** S5 cache/memo between routing and extraction (the reference's
+    * ImageCache holds decoded pages between the route decision and every
+    * downstream engine read, `pipeline.py:100-191`; SURVEY §2 maps it to
+    * `persist(MEMORY_AND_DISK)` between the stages): the routed frame is
+    * persisted and fanned out to TWO downstream consumers — per
+    * (tier, engine) stats and per preprocessing-chain stats — so the
+    * classify+route stage runs ONCE, not once per consumer. The small
+    * union is materialized eagerly (localCheckpoint) while the cache is
+    * live, then the cache is released — same lifecycle discipline as
+    * SpanVote's token frame (a leaked corpus-sized cache per call is a
+    * session poison at 100 TB). Eviction under memory pressure is
+    * Spark's block manager spilling to disk, not the reference's
+    * clear-everything-on-overflow.
+    */
+  def routeFanout(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val routed = route(df, textCol)
+      .select(col("doc_id"), col("tier"), col("engine"),
+        col("preprocessing"), col("routed_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byTier = routed.groupBy(col("tier"), col("engine"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("routed_text"))).cast("long").as("chars"))
+        .select(lit("by_tier").as("branch"), col("tier").as("k1"),
+          col("engine").as("k2"), col("n"), col("chars"))
+      val byPrep = routed.groupBy(col("preprocessing"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("routed_text"))).cast("long").as("chars"))
+        .select(lit("by_prep").as("branch"),
+          col("preprocessing").as("k1"), lit("").as("k2"),
+          col("n"), col("chars"))
+      byTier.unionByName(byPrep).orderBy("branch", "k1", "k2")
+        .localCheckpoint() // eager: both consumers read the live cache
+    } finally routed.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin of [[routeFanout]]: the routed frame is a CTE consumed
+    * by both branch aggregates — semantically the cache fan-out (DuckDB
+    * materializes the CTE once). length() counts code points in both
+    * engines; sums cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    */
+  def fanoutOracle: String =
+    s"""WITH routed AS ($oracle),
+      b1 AS (SELECT 'by_tier' AS branch, tier AS k1, engine AS k2,
+        count(*) AS n, CAST(sum(length(routed_text)) AS BIGINT) AS chars
+        FROM routed GROUP BY 1, 2, 3),
+      b2 AS (SELECT 'by_prep' AS branch, preprocessing AS k1, '' AS k2,
+        count(*) AS n, CAST(sum(length(routed_text)) AS BIGINT) AS chars
+        FROM routed GROUP BY 1, 2, 3)
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+      ORDER BY branch, k1, k2"""
+
   /** DuckDB twin of [[route]] over the documents table — the tier comes
     * from the same TextAnalysis oracle; strategy CASEs and normalization
     * chains mirror the Spark expressions (regexp_replace needs explicit

@@ -53,4 +53,39 @@ class AdaptiveRouteSpec extends SparkSpecBase {
     val out = AdaptiveRoute.routeAndExtract(df)
     assert(out.select("electricity_kwh").head().getAs[Any](0) === 299)
   }
+
+  test("routeFanout: cached fan-out equals uncached recompute, cache released") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+
+    val got = AdaptiveRoute.routeFanout(docs)
+
+    // S5 lifecycle: the corpus-sized routed cache is released before the
+    // call returns (a leaked cache per call poisons a long session); the
+    // ONE surviving block is the eager localCheckpoint backing the small
+    // result frame itself
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1)
+
+    // value equality vs the zero-cache recompute (each branch re-derives
+    // the routed frame from scratch)
+    val routed = AdaptiveRoute.route(docs)
+    def agg(df: org.apache.spark.sql.DataFrame, branch: String,
+        k1: org.apache.spark.sql.Column, k2: org.apache.spark.sql.Column) =
+      df.groupBy(k1.as("k1"), k2.as("k2"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("routed_text"))).cast("long").as("chars"))
+        .select(lit(branch).as("branch"), col("k1"), col("k2"),
+          col("n"), col("chars"))
+    val expected = agg(routed, "by_tier", col("tier"), col("engine"))
+      .unionByName(agg(routed, "by_prep", col("preprocessing"), lit("")))
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+
+    // the branch counts cover the whole corpus exactly twice
+    val total = docs.count()
+    val sums = got.groupBy("branch").agg(sum("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums === Map("by_tier" -> total, "by_prep" -> total))
+  }
 }
