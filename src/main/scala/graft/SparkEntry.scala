@@ -905,6 +905,34 @@ object SparkEntry {
         spread(s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text")))),
 
+    // X13 similarity ratio under the value oracle (the reference's
+    // test-side accuracy metric, `test_accuracy.py` char ratio): four
+    // deterministic perturbation severities (identity / leet vowels /
+    // space strip / both), per-row levenshtein + ratio. DuckDB's
+    // levenshtein is BYTE-based while Spark's counts code points, so
+    // both sides strip to printable ASCII first (byte ≡ char there);
+    // the 300-char cap bounds the O(|a|·|b|) DP per row; the ratio
+    // rounds via the explicit binary floor form (positive values) so
+    // the doubles are bit-identical across engines.
+    "x26_similarity_ratio" -> ((s, dir) => {
+      val a = substring(
+        regexp_replace(col("text"), "[^ -~]", ""), 1, 300)
+      val sev = pmod(col("doc_id"), lit(4)).cast("int")
+      val vow = translate(a, "aeiou", "43105")
+      val b = when(sev === 0, a).when(sev === 1, vow)
+        .when(sev === 2, regexp_replace(a, " ", ""))
+        .otherwise(regexp_replace(vow, " ", ""))
+      val lev = levenshtein(a, b).cast("long")
+      val sim = floor((lit(1.0) - lev /
+          greatest(length(a), length(b), lit(1)).cast("double")) *
+          lit(1e6) + lit(0.5)) / lit(1e6)
+      spread(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text"))
+        .select(col("doc_id"), sev.as("sev"), lev.as("lev"),
+          sim.as("sim"))
+        .orderBy("doc_id")
+    }),
+
     // ================= training-data pipeline ops (documents/embeddings)
     "t01_text_analysis" -> ((s, dir) =>
       TextAnalysis.analyze(spread(s.read.parquet(s"$dir/documents.parquet")))
@@ -1619,6 +1647,31 @@ object SparkEntry {
       // branch aggregates consume one materialization
       "x25_cached_route_fanout" ->
         graft.operators.AdaptiveRoute.fanoutOracle,
+
+      // similarity ratio: ASCII-stripped levenshtein (byte ≡ char) over
+      // the four closed-form perturbation severities; ratio via the
+      // binary floor round (positive values — both engines identical)
+      "x26_similarity_ratio" ->
+        """WITH s AS (
+             SELECT doc_id,
+               substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 300)
+                 AS a,
+               CAST(doc_id % 4 AS INT) AS sev
+             FROM documents),
+           p AS (
+             SELECT doc_id, sev, a,
+               CASE sev WHEN 0 THEN a
+                 WHEN 1 THEN translate(a, 'aeiou', '43105')
+                 WHEN 2 THEN replace(a, ' ', '')
+                 ELSE replace(translate(a, 'aeiou', '43105'), ' ', '')
+                 END AS b
+             FROM s)
+           SELECT doc_id, sev,
+             CAST(levenshtein(a, b) AS BIGINT) AS lev,
+             floor((1.0 - levenshtein(a, b) /
+               greatest(length(a), length(b), 1)) * 1e6 + 0.5) / 1e6
+               AS sim
+           FROM p ORDER BY doc_id""",
 
       // SQL-surface counts: closed-form block/run totals per payload
       // class (HtmlGen §classes: k / k+2 / k+3 / 1 / 1; PdfGen: class 1
