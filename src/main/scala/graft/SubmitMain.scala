@@ -32,6 +32,7 @@ object SubmitMain {
       .appName("graft-extract")
       .getOrCreate()
     try {
+      val t0 = System.nanoTime()
       val input =
         if (args(0).startsWith("gen:"))
           gen.TranscriptGen.inputDf(spark, args(0).stripPrefix("gen:").toLong)
@@ -56,6 +57,10 @@ object SubmitMain {
       // re-scanned the whole manifest dir for one number
       println(s"graft-extract complete: ${rows.length} buckets " +
         s"this run, output at ${ExtractionJob.dataDir(cfg)}")
+      // job time from input resolution to manifest collect — the figure a
+      // cluster's job history would report, excluding one-time JVM/session
+      // startup and teardown (amortized on a long-lived cluster)
+      println(f"graft-extract job_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     } finally spark.stop()
   }
 }

@@ -154,12 +154,6 @@ object ExtractionJob {
       // and keeps the T6 contract: within every bucket file, rows are
       // in (conv_id, turn_idx) order.
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      // cached across the write + the manifest aggregate: the extraction
-      // is computed ONCE and the metrics pass reads local cache blocks
-      // instead of re-scanning the entire written table (round-1 fix —
-      // at 100 TB that re-read was a full second scan; an Iceberg writer
-      // would emit these stats in commit metadata instead)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exactly-once per bucket: dynamic partition overwrite replaces a
     // bucket dir on re-run instead of appending duplicates
@@ -169,8 +163,34 @@ object ExtractionJob {
       .partitionBy("bucket")
       .parquet(dataDir(cfg))
 
-    // lineage/metrics per bucket, from the rows just durably written
-    val manifest = extracted
+    // lineage/metrics per bucket, from the rows just durably WRITTEN: a
+    // partition-pruned + column-pruned (five small metric columns, never
+    // the text) read of the output table. This replaced a
+    // persist(MEMORY_AND_DISK) of the full extracted frame (round-5
+    // measurement at (1,4) and (2,8) cores: the compressed-columnar
+    // cache build sat on the hot path and cost more than this re-read —
+    // which touches ~1 % of the written bytes — at every width), and it
+    // is the honest lineage source: the manifest describes the durable
+    // bytes, not a cached twin of them. An Iceberg writer would emit
+    // these stats in commit metadata for free.
+    //
+    // This run's buckets = everything in the table EXCEPT prior-complete
+    // ids (complement, not `0 until numBuckets`: a custom bucketExpr may
+    // use keys outside that range, e.g. date-derived — the prune must
+    // not assume the id space). A crashed run's partial bucket is never
+    // in doneIds, so its rows — just re-written by THIS run's dynamic
+    // overwrite — correctly enter this manifest.
+    val notDone =
+      if (doneIds.isEmpty) lit(true)
+      else !col("bucket").isin(doneIds: _*)
+    val thisRun = onlyBuckets match {
+      case Some(bs) => notDone && col("bucket").isin(bs.map(Integer.valueOf): _*)
+      case None => notDone
+    }
+    // explicit schema: an all-buckets-done resume or an empty input
+    // leaves nothing to infer from, and the read must still plan
+    val manifest = spark.read.schema(extracted.schema).parquet(dataDir(cfg))
+      .filter(thisRun)
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("turns_processed"),
@@ -189,7 +209,6 @@ object ExtractionJob {
     val bucketIds = manifest.select("bucket").collect()
       .map(r => Integer.valueOf(r.getInt(0))).toSeq
     manifest.write.mode(SaveMode.Append).parquet(manifestDir(cfg))
-    extracted.unpersist()
     val all = spark.read.option("mergeSchema", "true").parquet(manifestDir(cfg))
     if (bucketIds.isEmpty) all.filter(lit(false))
     else all.filter(col("bucket").isin(bucketIds: _*))
