@@ -100,7 +100,20 @@ object ExtractionJob {
       onlyBuckets: Option[Seq[Int]] = None): DataFrame = cfg.waveBuckets match {
     case Some(w) =>
       require(w > 0, s"waveBuckets must be positive, got $w")
-      val candidates = onlyBuckets.getOrElse(0 until cfg.numBuckets).toSeq.sorted
+      // candidate id space: the default hash key is 0 until numBuckets by
+      // construction (no pass over the input needed); a CUSTOM bucketExpr
+      // can emit ANY int (date-derived, offset), so its ids must be
+      // discovered — a column-pruned distinct over the single computed
+      // int column (partial-agg'd, driver-bounded by the bucket count).
+      // Without this, out-of-range ids would silently match no wave and
+      // the job would process nothing.
+      val candidates = onlyBuckets.getOrElse {
+        cfg.bucketExpr match {
+          case None => (0 until cfg.numBuckets): Seq[Int]
+          case Some(e) => input.select(e.cast("int").as("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+        }
+      }.toSeq.sorted
       // ids actually committed by this run's waves (≤ numBuckets — driver-safe)
       val written = scala.collection.mutable.ArrayBuffer.empty[Integer]
       candidates.grouped(w).foreach { wave =>

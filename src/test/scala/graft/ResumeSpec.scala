@@ -209,6 +209,54 @@ class ResumeSpec extends SparkSpecBase {
     assert(turns === (0 until 16 * 64))
   }
 
+  test("custom bucketExpr with ids outside 0..numBuckets-1 resumes exactly") {
+    // the resume prune and the manifest's this-run filter both work by
+    // COMPLEMENT (everything except prior-complete ids), never by
+    // enumerating 0 until numBuckets — a date-derived or offset bucket
+    // key must round-trip kill/resume exactly like the default hash key
+    val cfgA = Config(tmp(), numBuckets = 3, saltChunk = 64,
+      bucketExpr = Some(pmod(col("turn_idx"), lit(3)) + lit(100)))
+    val cfgB = Config(tmp(), numBuckets = 3, saltChunk = 64,
+      bucketExpr = Some(pmod(col("turn_idx"), lit(3)) + lit(100)))
+    val in = TranscriptGen.inputDf(spark, 900L)
+
+    ExtractionJob.run(spark, in, cfgA) // reference single-shot
+    // killed run: one out-of-range bucket id completes, then resume
+    ExtractionJob.run(spark, in, cfgB, onlyBuckets = Some(Seq(100)))
+    val resumed = ExtractionJob.run(spark, in, cfgB)
+    assert(resumed.select("bucket").distinct().count() === 2)
+    val manifest = spark.read.parquet(ExtractionJob.manifestDir(cfgB))
+    assert(manifest.select("bucket").collect().map(_.getInt(0)).sorted
+      === Array(100, 101, 102))
+    assert(manifest.count() === 3) // no bucket committed twice
+    assert(manifest.agg(sum("turns_processed")).head.getLong(0) === 900L)
+
+    val a = ExtractionJob.output(spark, cfgA)
+    val b = ExtractionJob.output(spark, cfgB)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // a third run is a no-op even though no id is below numBuckets
+    assert(ExtractionJob.run(spark, in, cfgB).count() === 0)
+  }
+
+  test("custom bucketExpr ids are discovered under wave commits") {
+    // the wave loop's candidate space is 0 until numBuckets ONLY for the
+    // default hash key; a custom expr's ids are discovered by a pruned
+    // distinct scan — without it, out-of-range ids match no wave and the
+    // job silently writes nothing
+    val cfg = Config(tmp(), numBuckets = 3, saltChunk = 64,
+      bucketExpr = Some(pmod(col("turn_idx"), lit(3)) + lit(100)),
+      waveBuckets = Some(2)) // 2 waves: [100,101], [102]
+    val in = TranscriptGen.inputDf(spark, 300L)
+    val m = ExtractionJob.run(spark, in, cfg)
+    assert(m.select("bucket").collect().map(_.getInt(0)).sorted
+      === Array(100, 101, 102))
+    assert(m.agg(sum("turns_processed")).head.getLong(0) === 300L)
+    assert(ExtractionJob.output(spark, cfg).count() === 300L)
+    // resume across the wave path is still a no-op
+    assert(ExtractionJob.run(spark, in, cfg).count() === 0)
+  }
+
   test("output ordering is stable within (bucket) partitions") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 1000L), cfg)
