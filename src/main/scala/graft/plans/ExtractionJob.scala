@@ -133,7 +133,11 @@ object ExtractionJob {
     val t0 = System.currentTimeMillis()
     val bExpr = cfg.bucketExpr.getOrElse(bucketCol(cfg.numBuckets, cfg.saltChunk))
 
-    val bucketed = input.withColumn("bucket", bExpr)
+    // cast pins the manifest/layout schema to int for CUSTOM exprs too
+    // (a long-typed key would otherwise write a bigint bucket column and
+    // disagree with the int-typed wave-candidate discovery); no-op for
+    // the default key, which is already int
+    val bucketed = input.withColumn("bucket", bExpr.cast("int"))
 
     // EAGER snapshot of completed bucket ids (≤ numBuckets): a lazy
     // manifest read here is re-evaluated after this run's own writes
