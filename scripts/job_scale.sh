@@ -51,11 +51,14 @@ submit() { # cores turns outdir -> prints job_sec value or -1
     "$JAR" "gen:$t" "$out" 32 2>/dev/null | grep -o 'job_sec=[0-9.]*' | cut -d= -f2
 }
 run() {
-  local c=$1 tag=$2
+  local c=$1 tag=$2 js rc
   local out=/dev/shm/graft-js-$tag
   local t0=$(date +%s.%N)
-  local js=$(submit "$c" "$TURNS" "$out")
-  local rc=$?
+  js=$(submit "$c" "$TURNS" "$out")
+  # rc from the captured value, not $?: the submit pipeline ends in cut
+  # (exit 0 even on empty input) and `local x=$(...)` masks status with
+  # the builtin's anyway — a failed spark-submit shows as empty js
+  if [ -n "$js" ]; then rc=0; else rc=1; fi
   local t1=$(date +%s.%N)
   awk -v a="$t0" -v b="$t1" -v tag="$tag" -v c="$c" -v rc="$rc" -v js="${js:--1}" \
     'BEGIN{printf "RUN %s cores=%s rc=%s wall=%.1f job_sec=%s\n", tag, c, rc, b-a, js}'

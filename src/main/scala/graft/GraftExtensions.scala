@@ -25,16 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  /** exact-arity gate — same review fix as GraftFunctions.register:
-    * `children.head` builders silently dropped surplus arguments */
+  /** exact-arity gate — the shared one from GraftFunctions (review fix:
+    * `children.head` builders silently dropped surplus arguments) */
   private def arity(name: String, ns: Set[Int])(
       f: Seq[Expression] => Expression)(
-      children: Seq[Expression]): Expression = {
-    require(ns.contains(children.length),
-      s"$name expects ${ns.toSeq.sorted.mkString(" or ")} argument(s), " +
-        s"got ${children.length}")
-    f(children)
-  }
+      children: Seq[Expression]): Expression =
+    graft.functions.GraftFunctions.arity(name, ns)(f)(children)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

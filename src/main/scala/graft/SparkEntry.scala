@@ -302,7 +302,9 @@ object SparkEntry {
       // outcomes. Single-partition window is driver-local-frame safe
       // (the frame is ≤ ValidationCollectCap rows by the bound above).
       val wp = Window.partitionBy(lit(1))
-      val wb = Window.partitionBy(floor(col("confidence") * 10))
+      // accuracy is per (path, decile) — matching the x24 twin's
+      // groupBy(path, conf_bucket); only the Pearson is global
+      val wb = Window.partitionBy(col("path"), floor(col("confidence") * 10))
       // Pearson from guarded moment sums — a zero-variance frame must
       // yield null, and ANSI mode makes the built-in corr THROW on its
       // internal /0 there

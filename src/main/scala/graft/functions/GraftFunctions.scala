@@ -45,8 +45,9 @@ object GraftFunctions {
   /** Exact-arity gate for SQL registration (review fix: `exprs.head`
     * builders silently DROPPED surplus arguments — e.g. a misremembered
     * html_blocks(text, limit) analyzed fine and ignored the limit).
+    * Shared with [[graft.GraftExtensions]] — one gate, one message shape.
     */
-  private def arity[T](name: String, ns: Set[Int])(
+  private[graft] def arity[T](name: String, ns: Set[Int])(
       f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => T)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): T = {
     require(ns.contains(exprs.length),

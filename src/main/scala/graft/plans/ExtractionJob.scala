@@ -57,6 +57,24 @@ object ExtractionJob {
     pmod(hash(col("conv_id"), floor(col("turn_idx") / saltChunk).cast("int")),
       lit(numBuckets))
 
+  /** the bucket-id column for `cfg`, pinned to int. A custom expr gets a
+    * per-row null fail-fast (`coalesce` + `raise_error`, zero cost on the
+    * non-null branch): a NULL key would otherwise write rows under
+    * `__HIVE_DEFAULT_PARTITION__`, NPE the driver-side id collects, and —
+    * worst — be silently dropped by the resume complement filter on the
+    * NEXT run (null fails `!isin(...)`). Failing the job at the first
+    * null row, before any of that, is the only resume-safe semantics.
+    * The default hash key is never null, so it skips the branch.
+    */
+  private def bucketKey(cfg: Config): org.apache.spark.sql.Column =
+    cfg.bucketExpr match {
+      case None => bucketCol(cfg.numBuckets, cfg.saltChunk)
+      case Some(e) => coalesce(e.cast("int"),
+        raise_error(lit("graft.ExtractionJob: custom bucketExpr produced" +
+          " a NULL bucket id — bucket keys must be non-null and" +
+          " deterministic per input row")).cast("int"))
+    }
+
   def dataDir(cfg: Config): String = s"${cfg.outDir}/data"
   def manifestDir(cfg: Config): String = s"${cfg.outDir}/_manifest"
 
@@ -110,10 +128,16 @@ object ExtractionJob {
       val candidates = onlyBuckets.getOrElse {
         cfg.bucketExpr match {
           case None => (0 until cfg.numBuckets): Seq[Int]
-          case Some(e) => input.select(e.cast("int").as("bucket"))
+          case Some(_) => input.select(bucketKey(cfg).as("bucket"))
             .distinct().collect().map(_.getInt(0)).toSeq
         }
       }.toSeq.sorted
+      // zero candidates (empty input under a custom key, or an empty
+      // onlyBuckets): run ONE empty wave so the output/manifest dirs
+      // exist and the return is an empty manifest frame, same as the
+      // non-wave path — not a PATH_NOT_FOUND on the read below
+      if (candidates.isEmpty)
+        return runWave(spark, input, cfg, Some(Seq.empty))
       // ids actually committed by this run's waves (≤ numBuckets — driver-safe)
       val written = scala.collection.mutable.ArrayBuffer.empty[Integer]
       candidates.grouped(w).foreach { wave =>
@@ -131,13 +155,10 @@ object ExtractionJob {
   private def runWave(spark: SparkSession, input: DataFrame, cfg: Config,
       onlyBuckets: Option[Seq[Int]]): DataFrame = {
     val t0 = System.currentTimeMillis()
-    val bExpr = cfg.bucketExpr.getOrElse(bucketCol(cfg.numBuckets, cfg.saltChunk))
+    val bExpr = bucketKey(cfg)
 
-    // cast pins the manifest/layout schema to int for CUSTOM exprs too
-    // (a long-typed key would otherwise write a bigint bucket column and
-    // disagree with the int-typed wave-candidate discovery); no-op for
-    // the default key, which is already int
-    val bucketed = input.withColumn("bucket", bExpr.cast("int"))
+    // bucketKey pins the schema to int and fail-fasts null custom keys
+    val bucketed = input.withColumn("bucket", bExpr)
 
     // EAGER snapshot of completed bucket ids (≤ numBuckets): a lazy
     // manifest read here is re-evaluated after this run's own writes

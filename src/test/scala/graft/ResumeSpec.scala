@@ -257,6 +257,39 @@ class ResumeSpec extends SparkSpecBase {
     assert(ExtractionJob.run(spark, in, cfg).count() === 0)
   }
 
+  test("wave mode with zero candidate buckets returns an empty manifest") {
+    // empty input under a custom key discovers no ids; the run must be a
+    // no-op returning an empty manifest frame (one empty wave creates the
+    // dirs), not a PATH_NOT_FOUND on the manifest read
+    val cfg = Config(tmp(), numBuckets = 3, saltChunk = 64,
+      bucketExpr = Some(pmod(col("turn_idx"), lit(3)) + lit(100)),
+      waveBuckets = Some(2))
+    val empty = TranscriptGen.inputDf(spark, 100L).filter(lit(false))
+    assert(ExtractionJob.run(spark, empty, cfg).count() === 0)
+    // the dirs it created are a valid resume base for a real input
+    val m = ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 100L), cfg)
+    assert(m.agg(sum("turns_processed")).head.getLong(0) === 100L)
+  }
+
+  test("a NULL custom bucket key fails the job fast with a clear message") {
+    // a null key would write under __HIVE_DEFAULT_PARTITION__, NPE the
+    // driver-side id collects, and silently drop the rows from the next
+    // resume's complement filter — the per-row raise_error guard turns
+    // all of that into an immediate, named failure
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val in = TranscriptGen.inputDf(spark, 50L)
+    for (waves <- Seq(None, Some(2))) {
+      val cfg = Config(tmp(), numBuckets = 3, saltChunk = 64,
+        bucketExpr = Some(when(col("turn_idx") === 7, lit(null))
+          .otherwise(pmod(col("turn_idx"), lit(3)))),
+        waveBuckets = waves)
+      val ex = intercept[Exception] { ExtractionJob.run(spark, in, cfg) }
+      assert(messages(ex).contains("NULL bucket id"), s"waves=$waves")
+    }
+  }
+
   test("output ordering is stable within (bucket) partitions") {
     val cfg = Config(tmp(), numBuckets = 4, saltChunk = 64)
     ExtractionJob.run(spark, TranscriptGen.inputDf(spark, 1000L), cfg)
