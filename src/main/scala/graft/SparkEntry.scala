@@ -51,6 +51,16 @@ object SparkEntry {
     * both sides removes the divergence class; the negate-floor-negate
     * arm keeps away-from-zero semantics for negatives (plain
     * floor(x+.5) would diverge there).
+    *
+    * AUTHORING RULE for NEW oracle pairs: any cross-engine-compared
+    * double produced by division/averaging (quotient-shaped — it can
+    * land arbitrarily close to a decimal …5 boundary) should round via
+    * roundB + DuckDB round(), not Spark round(). The existing plain
+    * round() pairs predate the rule and have held at sf0.01/sf0.1 for
+    * five rounds over fixed generators; they are kept as-is because
+    * swapping a green pair's rounding is a bigger regression risk than
+    * the latent boundary it guards (every pair is re-hash-checked at two
+    * SFs per round, so a flip would be caught, not silent).
     */
   private def roundB(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val scaled = c * lit(1000000)
@@ -99,16 +109,31 @@ object SparkEntry {
     }
     val pidPrefix = s"graft-$tag-${ProcessHandle.current().pid()}-"
     val staleMs = System.currentTimeMillis() - 30L * 60 * 1000
-    // beyond a day, reap regardless of owner liveness: a recycled PID
-    // (or a legacy dir with no PID segment, which the regex cannot
-    // match) must not pin RAM-backed tmpfs forever
-    val veryStaleMs = System.currentTimeMillis() - 24L * 3600 * 1000
-    def ownerDead(name: String): Boolean =
-      s"graft-$tag-(\\d+)-".r.findFirstMatchIn(name) match {
+    // the owner is alive ONLY if the PID is alive AND that process
+    // started no later than the dir was created — a recycled PID's
+    // process started AFTER the dead owner's dir existed, so recycling
+    // cannot pin tmpfs forever, and a genuinely long-lived session's
+    // in-flight output truly survives any age (the docstring invariant;
+    // the earlier 24 h unconditional reap could delete a live >24 h
+    // session's lazily-read output). Unknown start time ⇒ treat an
+    // alive PID as the owner (conservative: pins at most until exit).
+    def ownerDead(d: java.io.File): Boolean =
+      s"graft-$tag-(\\d+)-".r.findFirstMatchIn(d.getName) match {
         case Some(m) =>
-          try !ProcessHandle.of(m.group(1).toLong)
-            .map[Boolean](_.isAlive).orElse(false)
-          catch { case _: Throwable => false }
+          try {
+            val h = ProcessHandle.of(m.group(1).toLong)
+            if (!h.map[Boolean](_.isAlive).orElse(false)) true
+            else {
+              val started = h.get().info().startInstant()
+              val created = java.nio.file.Files
+                .readAttributes(d.toPath,
+                  classOf[java.nio.file.attribute.BasicFileAttributes])
+                .creationTime().toMillis
+              // 60 s tolerance for coarse clocks
+              started.isPresent &&
+                started.get().toEpochMilli > created + 60000L
+            }
+          } catch { case _: Throwable => false }
         // no parseable owner (pre-PID-prefix format): a 30-min-old
         // such dir cannot be a live PID-scoped process's output
         case None => true
@@ -116,8 +141,7 @@ object SparkEntry {
     Option(base.toFile.listFiles())
       .foreach(_.filter(d => d.getName.startsWith(pidPrefix) ||
         (d.getName.startsWith(s"graft-$tag-") &&
-          d.lastModified() < staleMs &&
-          (ownerDead(d.getName) || d.lastModified() < veryStaleMs)))
+          d.lastModified() < staleMs && ownerDead(d)))
         .foreach { d =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -140,17 +164,36 @@ object SparkEntry {
       col("status"), col("blocks_total"), col("blocks_kept"),
       col("truncated"))
 
-  /** documents table + deterministic near-duplicate rows (id+100000,
+  /** documents table + deterministic near-duplicate rows (negated ids,
     * 3 tokens appended) — gives the near-dup detectors real positives.
+    * The perturbed id space is `-(doc_id+1)`: disjoint from the real
+    * non-negative ids BY CONSTRUCTION at every scale factor (a fixed
+    * `+100000` offset collided with genuine ids once the corpus passed
+    * 100 001 docs, silently merging two texts under one id).
     */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val perturbed = docs
-      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("doc_id", -(col("doc_id") + 1L))
       .withColumn("text", concat(col("text"), lit(" zq1 zq2 zq3")))
     docs.unionByName(perturbed)
   }
+
+  /** closed-form synthetic pdf payload: run lines `G 40 <y> 12<letter><
+    * (did*mult+i)%1000>` for i in 0..upper — ONE builder for x22's
+    * single-window / chunk-bound truncation classes and x23's
+    * truncation-lineage turn (they differ only in upper/letter/mult), so
+    * a change to the run-line shape lands in one place; the x22 oracle's
+    * closed forms recompute the same arithmetic.
+    */
+  private def runLinePdfPayload(did: org.apache.spark.sql.Column,
+      upper: Int, letter: String, mult: Int): org.apache.spark.sql.Column =
+    concat(lit("%PDF-SIM\n"),
+      array_join(transform(sequence(lit(0), lit(upper)), i =>
+        concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
+          lit(s" 12 $letter"),
+          pmod(did * mult + i, lit(1000)).cast("string"))), "\n"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= extraction engine (repo-generated transcripts;
@@ -741,18 +784,10 @@ object SparkEntry {
       // over the single-window cap but inside the chunk bound: the
       // chunk-processed class — FULL text survives (G9, round-4 verdict
       // #5), no truncation flag
-      val pdfPayload = concat(lit("%PDF-SIM\n"),
-        array_join(transform(sequence(lit(0), lit(R + 9)), i =>
-          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
-            lit(" 12 w"),
-            pmod(did * 7 + i, lit(1000)).cast("string"))), "\n"))
+      val pdfPayload = runLinePdfPayload(did, R + 9, "w", 7)
       // beyond MaxChunks·MaxRuns parsed runs: the flag fires and exactly
       // the chunk bound survives
-      val megaPayload = concat(lit("%PDF-SIM\n"),
-        array_join(transform(sequence(lit(0), lit(2 * R + 19)), i =>
-          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
-            lit(" 12 m"),
-            pmod(did * 11 + i, lit(1000)).cast("string"))), "\n"))
+      val megaPayload = runLinePdfPayload(did, 2 * R + 19, "m", 11)
       val htmlPayload = concat(lit("<html><body>"),
         array_join(transform(sequence(lit(0), lit(B + 4)), i =>
           concat(lit("<p>"),
@@ -811,11 +846,7 @@ object SparkEntry {
       // over-cap pdf payload (2·MaxRuns+20 run lines): truncation
       // lineage stays exercised even with chunked mega-payload
       // processing bounded at MaxChunks·MaxRuns parsed runs
-      val truncPdf = concat(lit("%PDF-SIM\n"),
-        array_join(transform(sequence(lit(0), lit(2 * R + 19)), i =>
-          concat(lit("G 40 "), (lit(100) + i * 20).cast("string"),
-            lit(" 12 w"), pmod(did * 7 + i, lit(1000)).cast("string"))),
-          "\n"))
+      val truncPdf = runLinePdfPayload(did, 2 * R + 19, "w", 7)
       val extra = docs.select(did.as("conv_id"),
           explode(filter(array(
             struct(lit(1).as("turn_idx"),
@@ -2011,6 +2042,11 @@ object SparkEntry {
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
            count(*) AS n
            FROM lineitem GROUP BY 1 ORDER BY 1"""
+    // AUTHORING INVARIANT: this collapse runs over the WHOLE SQL text,
+    // string literals included — a literal containing a tab/newline or
+    // two-plus spaces is silently rewritten to one space. Oracles must
+    // build such literals with repeat(' ', n) / chr(9) / chr(10) (as
+    // x08/x12 do); never write multi-whitespace inside quotes here.
     ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
   }
 }
