@@ -43,6 +43,11 @@ object Calibration {
       * NULL confidence stays NULL (raw-passthrough contract) — without
       * the guard, `filter(axs, _ <= null)` drops every element and the
       * i===0 branch would fabricate the lowest breakpoint from nothing.
+      * NaN confidence stays NaN, matching [[interpolate]]'s propagation:
+      * Spark ORDERS NaN above every value, so without the guard
+      * `x <= NaN` keeps all breakpoints and a NaN input would calibrate
+      * to ys.last — the model's MAXIMUM accuracy — and sail past every
+      * τ threshold.
       */
     def col(conf: Column): Column = {
       val axs = array(xs.map(lit(_)).toSeq: _*)
@@ -50,6 +55,7 @@ object Calibration {
       val n = xs.length
       val i = size(filter(axs, x => x <= conf)) // count of xs ≤ conf (1-based left neighbor)
       when(conf.isNull, lit(null).cast("double"))
+        .when(isnan(conf), lit(Double.NaN))
         .when(i === 0, lit(ys.head))
         .when(i === n, lit(ys.last))
         .otherwise(

@@ -74,13 +74,15 @@ object HtmlBlocks {
     StructField("cwords", IntegerType, nullable = false),
     StructField("clink_words", IntegerType, nullable = false),
     StructField("cmax_words", IntegerType, nullable = false),
-    // raw cursor position where tokenization STOPPED because the
-    // MaxBlocks cap fired, carried on the LAST block (-1 everywhere
-    // else, and everywhere when the cap never fired): downstream
-    // truncation lineage tests "non-whitespace material beyond the
-    // cursor", the direct form of "content may have been dropped" —
-    // round-4 verdict #6 (the earlier last-block-end heuristic both
-    // over-flagged a cap-full parse that consumed the whole document
+    // raw UTF-16 cursor position where tokenization STOPPED because the
+    // MaxBlocks cap fired WITH non-whitespace material remaining beyond
+    // it, carried on the LAST block (-1 everywhere else, when the cap
+    // never fired, and when the stop point had only whitespace after
+    // it): `cap_cursor >= 0` IS the dropped-content signal — the test
+    // lives in the tokenizer's own coordinates (round-5 review: a
+    // Spark-side compare against the code-point contentEnd could
+    // under-flag astral-char payloads; round-4 verdict #6: the earlier
+    // last-block-end heuristic over-flagged a fully-consumed document
     // and could not name where the scan stopped)
     StructField("cap_cursor", IntegerType, nullable = false)))
 
@@ -296,10 +298,25 @@ object HtmlBlocks {
     }
     if (emitted < MaxBlocks) flush()
     val blocks = out.result()
-    // cap fired: record where the scan stopped on the last block (i == n
-    // means the cap coincided with the end of input — nothing dropped,
-    // which the <n comparison downstream distinguishes from a real stop)
-    if (emitted == MaxBlocks && blocks.nonEmpty) blocks.last.capCursor = i
+    // cap fired AND non-whitespace material remains beyond the stop
+    // point: record where the scan stopped on the last block. The
+    // dropped-content test lives HERE, in the tokenizer's own UTF-16
+    // coordinates — a Spark-side `cap_cursor < contentEnd(raw)` compare
+    // mixed UTF-16 code units with code-point lengths, so payloads with
+    // astral chars (each 2 units / 1 point) could under-flag dropped
+    // content. Whitespace class matches contentEnd's Java-regex \s
+    // ([ \t\n\x0B\f\r]): ANY other char — markup included — counts as
+    // dropped, keeping the flag conservative (never the reverse).
+    if (emitted == MaxBlocks && blocks.nonEmpty) {
+      var j = i; var dropped = false
+      while (j < n && !dropped) {
+        val c = s.charAt(j)
+        dropped = c != ' ' && c != '\t' && c != '\n' &&
+          c != '\u000B' && c != '\f' && c != '\r'
+        j += 1
+      }
+      if (dropped) blocks.last.capCursor = i
+    }
     // Readability-style container totals: per nearest container subtree,
     // sum the words/link-words of its NON-boiler blocks (boiler content
     // must not rescue its neighbors), then annotate every block

@@ -186,12 +186,20 @@ object Extract {
 
   // ------------------------------------------------------------- pdf
 
+  /** sign comparator — NOT subtraction: `a - b` overflows Int for
+    * hostile coordinate pairs (e.g. 2e9 vs -2e9, both accepted by the
+    * parser), which under ANSI mode throws ARITHMETIC_OVERFLOW and kills
+    * the job on one adversarial row (non-ANSI: wrapped sign, broken
+    * order). */
+  private def sgn(x: Column, y: Column): Column =
+    when(x < y, -1).when(x > y, 1).otherwise(0)
+
   /** reading-order comparator: (line, x, raw offset) — a total order */
   private def readingOrder(a: Column, b: Column): Column = {
-    val l = a.getField("line") - b.getField("line")
-    val x = a.getField("x") - b.getField("x")
+    val l = sgn(a.getField("line"), b.getField("line"))
+    val x = sgn(a.getField("x"), b.getField("x"))
     when(l =!= 0, l).when(x =!= 0, x)
-      .otherwise(a.getField("start") - b.getField("start"))
+      .otherwise(sgn(a.getField("start"), b.getField("start")))
   }
 
   /** PDF path assembly from staged columns: `runs` (parsed glyph runs with
@@ -335,14 +343,17 @@ object Extract {
     val truncated =
       when(fmt === "pdf",
         size(col("__pr")) === pdfCap && col("__cand") > pdfCap)
-        // the size conjunct is NOT the truncation invariant (capCur >= 0
-        // already implies the cap fired — HtmlBlocks sets cap_cursor
-        // only when it emitted exactly MaxBlocks): it is the ANSI
-        // short-circuit guard for element_at(__hb, -1), which THROWS on
-        // an empty array (script-only / empty html payloads)
+        // the dropped-content test lives in the tokenizer (cap_cursor is
+        // set ONLY when the cap fired AND non-ws material remains past
+        // the stop point, in the tokenizer's own UTF-16 coordinates — a
+        // Spark-side `< contentEnd(raw)` compare mixed code units with
+        // code points and could under-flag astral-char payloads). The
+        // size conjunct is the ANSI short-circuit guard for
+        // element_at(__hb, -1), which THROWS on an empty array
+        // (script-only / empty html payloads).
         .when(fmt === "html",
           size(col("__hb")) === graft.expressions.HtmlBlocks.MaxBlocks &&
-            capCur >= 0 && capCur < contentEnd(raw))
+            capCur >= 0)
         .otherwise(lit(false))
 
     val routed = staged2.withColumn("__x",

@@ -712,24 +712,33 @@ object FieldExtract {
     * same truthiness tests, same left-associated arithmetic, so the
     * doubles match bit-for-bit.
     */
-  def fusedOracle(billSql: String): String =
-    s"""SELECT doc_id, raw_conf,
-      round(crit, 6) AS field_accuracy,
-      round(crit*0.8 + opt*0.2, 6) AS completeness,
-      fused AS fused_conf,
-      fused < 0.7 AS needs_review
-    FROM (
-      SELECT *, round(LEAST(1.0, GREATEST(0.0,
+  /** shared inner frame (raw_conf / crit / opt + the clamped fused
+    * composite over [[oracle]]) — the SINGLE source of the
+    * fused-confidence arithmetic for both [[fusedOracle]] and
+    * [[payloadOracle]]: this SQL is the bit-for-bit parity contract
+    * with [[withFusedConfidence]], and a drifted second copy would
+    * break the byte-exact payload compare while x09 still passed.
+    */
+  private def fusedFrameSql(billSql: String): String =
+    s"""SELECT *, round(LEAST(1.0, GREATEST(0.0,
         raw_conf*0.4 + crit*0.35 + (crit*0.8 + opt*0.2)*0.25)), 6) AS fused
       FROM (
-        SELECT doc_id, COALESCE(elec_conf, 0.0) AS raw_conf,
+        SELECT *, COALESCE(elec_conf, 0.0) AS raw_conf,
           (CAST(electricity_kwh IS NOT NULL AND electricity_kwh <> 0 AS INT)
            + CAST(account_number IS NOT NULL AND account_number <> '' AS INT)
            + CAST(bill_date IS NOT NULL AND bill_date <> '' AS INT)) / 3.0 AS crit,
           (CAST(carbon_kgco2e IS NOT NULL AND carbon_kgco2e <> 0 AS INT)
            + CAST(water_m3 IS NOT NULL AND water_m3 <> 0 AS INT)
            + CAST(current_reading IS NOT NULL AND current_reading <> '' AS INT)) / 3.0 AS opt
-        FROM (${oracle(billSql)})))
+        FROM (${oracle(billSql)}))"""
+
+  def fusedOracle(billSql: String): String =
+    s"""SELECT doc_id, raw_conf,
+      round(crit, 6) AS field_accuracy,
+      round(crit*0.8 + opt*0.2, 6) AS completeness,
+      fused AS fused_conf,
+      fused < 0.7 AS needs_review
+    FROM (${fusedFrameSql(billSql)})
     ORDER BY doc_id"""
 
   /** DuckDB twin of [[payloadCol]] layered over [[oracle]] + the
@@ -747,18 +756,7 @@ object FieldExtract {
     def str(c: String) = s"coalesce($c, '')"
     def num(c: String) =
       s"CAST(round(coalesce(CAST($c AS DOUBLE), 0.0), 6) AS VARCHAR)"
-    s"""WITH t AS (
-      SELECT *, round(LEAST(1.0, GREATEST(0.0,
-          raw_conf*0.4 + crit*0.35 + (crit*0.8 + opt*0.2)*0.25)), 6) AS fused
-      FROM (
-        SELECT *, COALESCE(elec_conf, 0.0) AS raw_conf,
-          (CAST(electricity_kwh IS NOT NULL AND electricity_kwh <> 0 AS INT)
-           + CAST(account_number IS NOT NULL AND account_number <> '' AS INT)
-           + CAST(bill_date IS NOT NULL AND bill_date <> '' AS INT)) / 3.0 AS crit,
-          (CAST(carbon_kgco2e IS NOT NULL AND carbon_kgco2e <> 0 AS INT)
-           + CAST(water_m3 IS NOT NULL AND water_m3 <> 0 AS INT)
-           + CAST(current_reading IS NOT NULL AND current_reading <> '' AS INT)) / 3.0 AS opt
-        FROM (${oracle(billSql)}))),
+    s"""WITH t AS (${fusedFrameSql(billSql)}),
     b AS (SELECT doc_id, sha256(CAST($billSql AS VARCHAR)) AS sha
           FROM documents)
     SELECT t.doc_id,

@@ -26,10 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object SpanVote {
 
-  /** span IoU */
+  /** widest span [[vote]] accepts (16 M chars): far beyond any real
+    * token, small enough that one token's grid-cell fan-out stays ≤
+    * width/grid ≈ 1 M and iou's arithmetic stays far from Int range.
+    */
+  val MaxSpanWidth: Long = 1L << 24
+
+  /** span IoU — LONG arithmetic: int endpoint pairs near ±2^31 would
+    * overflow `(aE-aS)+(bE-bS)` (ANSI throws, non-ANSI wraps the sign);
+    * values are identical for in-range inputs, so the x14 value oracle
+    * is unaffected. */
   def iou(aS: Column, aE: Column, bS: Column, bE: Column): Column = {
-    val inter = greatest(least(aE, bE) - greatest(aS, bS), lit(0))
-    val uni = (aE - aS) + (bE - bS) - inter
+    val (as_, ae, bs_, be) = (aS.cast("long"), aE.cast("long"),
+      bS.cast("long"), bE.cast("long"))
+    val inter = greatest(least(ae, be) - greatest(as_, bs_), lit(0L))
+    val uni = (ae - as_) + (be - bs_) - inter
     when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
   }
 
@@ -62,6 +73,18 @@ object SpanVote {
       // election would otherwise null-poison where sum() skipped)
       coalesce(col("conf").cast("double"), lit(0.0)).as("conf"),
       col("start").cast("int").as("start"), col("end").cast("int").as("end"))
+      // hostile-span guard AT THE SOURCE (null/inverted/degenerate spans
+      // describe no span and never elect — SpanVoteSpec/OperatorFuzzSpec
+      // pin the drop; filtering here rather than downstream also bounds
+      // the machinery): an inverted pair would explode cells() as a
+      // DESCENDING sequence and an absurd width an ascending one, each
+      // ~width/grid rows per token (executor OOM near 2^31 widths), and
+      // iou()'s int arithmetic sits near ARITHMETIC_OVERFLOW under ANSI.
+      // MaxSpanWidth (16 M chars) is far beyond any real token yet keeps
+      // the per-token cell fan-out ≤ ~1 M cells.
+      .filter(col("end") > col("start") &&
+        col("end").cast("long") - col("start").cast("long")
+          <= MaxSpanWidth)
     val t = checkpointDir match {
       case Some(dir) =>
         // unique subdir per invocation (review fix: a FIXED subpath +

@@ -2,8 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
 
 import graft.operators.Extract
 
@@ -16,7 +14,10 @@ import graft.operators.Extract
   * (or a Kafka-shaped source), the identical `Extract` projection, and an
   * append-mode sink. No watermark is required (no event-time aggregation);
   * the optional per-conversation windowed metrics stream below shows the
-  * watermarked form.
+  * watermarked form. The production sink shape — parquet file sink +
+  * checkpointLocation + AvailableNow trigger — is exercised end-to-end
+  * by the x21 battery query (an earlier untested convenience `writer`
+  * here had drifted from it and was removed).
   */
 object StreamingExtract {
 
@@ -39,16 +40,4 @@ object StreamingExtract {
           .as("parser_fallbacks"),
         round(avg(col("confidence")), 6).as("avg_confidence"))
 
-  /** Convenience writer: append the extracted stream to a bucketed parquet
-    * dir with a processing-time trigger — the streaming sink twin of
-    * ExtractionJob's layout.
-    */
-  def writer(extracted: DataFrame, outDir: String,
-      checkpointDir: String): DataStreamWriter[Row] =
-    extracted.writeStream
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.ProcessingTime("10 seconds"))
-      .option("checkpointLocation", checkpointDir)
-      .option("path", outDir)
-      .format("parquet")
 }

@@ -194,14 +194,28 @@ class TokenizerSpec extends AnyFunSuite {
     assert(ob.last.capCursor >= 0 && ob.last.capCursor < over.length)
     assert(ob.init.forall(_.capCursor === -1))
     // adversarial: cap coincides with the exact end of content — the
-    // document IS fully consumed (cursor == length), nothing dropped;
-    // the old last-block-end-vs-contentEnd heuristic over-flagged this
+    // document IS fully consumed, nothing dropped, so NO cursor (the
+    // tokenizer only sets cap_cursor when non-ws material remains past
+    // the stop point; the old last-block-end-vs-contentEnd heuristic
+    // over-flagged this)
     val exact = "<html><body>" +
       (0 until B - 1).map(i => s"<p>block number $i</p>").mkString +
       "<p>final words here"
     val eb = HtmlBlocks.tokenize(exact)
     assert(eb.length === B)
-    assert(eb.last.capCursor === exact.length)
+    assert(eb.last.capCursor === -1)
+    // whitespace-only tail past the cap: consumed-equivalent, no cursor
+    assert(HtmlBlocks.tokenize(exact + "  \n\t  ").last.capCursor === -1)
+    // astral chars before the cap (each 2 UTF-16 units / 1 code point)
+    // must not hide dropped content: the tokenizer's own-coordinate
+    // test still flags — the old Spark-side compare of the UTF-16
+    // cursor against the code-point contentEnd could under-flag this
+    val astral = "<html><body><p>😀😀 intro</p>" +
+      (0 until B).map(i => s"<p>block number $i</p>").mkString +
+      "<p>dropped tail</p></body></html>"
+    val ab = HtmlBlocks.tokenize(astral)
+    assert(ab.length === B)
+    assert(ab.last.capCursor >= 0)
     // no cap → no cursor anywhere
     assert(HtmlBlocks.tokenize("<p>a b</p><p>c d</p>")
       .forall(_.capCursor === -1))
