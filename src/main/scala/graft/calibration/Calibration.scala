@@ -43,11 +43,17 @@ object Calibration {
       * NULL confidence stays NULL (raw-passthrough contract) — without
       * the guard, `filter(axs, _ <= null)` drops every element and the
       * i===0 branch would fabricate the lowest breakpoint from nothing.
-      * NaN confidence stays NaN, matching [[interpolate]]'s propagation:
-      * Spark ORDERS NaN above every value, so without the guard
-      * `x <= NaN` keeps all breakpoints and a NaN input would calibrate
-      * to ys.last — the model's MAXIMUM accuracy — and sail past every
-      * τ threshold.
+      * NaN confidence calibrates to NULL: without a guard, `x <= NaN`
+      * keeps all breakpoints (Spark orders NaN above every value) and a
+      * NaN input would calibrate to ys.last — the model's MAXIMUM
+      * accuracy. Returning NaN instead of NULL would NOT close the gate
+      * either: Spark's comparison operators also treat NaN as greater
+      * than any double, so `calibrated >= τ` would still pass every
+      * acceptance threshold (review finding). NULL fails every gate in
+      * both Spark and DuckDB. This intentionally diverges from the
+      * Scala [[interpolate]] path, which propagates NaN — safe THERE
+      * because Scala primitive comparisons are NaN-false — and
+      * CalibrationSpec pins both behaviors.
       */
     def col(conf: Column): Column = {
       val axs = array(xs.map(lit(_)).toSeq: _*)
@@ -55,7 +61,7 @@ object Calibration {
       val n = xs.length
       val i = size(filter(axs, x => x <= conf)) // count of xs ≤ conf (1-based left neighbor)
       when(conf.isNull, lit(null).cast("double"))
-        .when(isnan(conf), lit(Double.NaN))
+        .when(isnan(conf), lit(null).cast("double"))
         .when(i === 0, lit(ys.head))
         .when(i === n, lit(ys.last))
         .otherwise(

@@ -708,16 +708,14 @@ object FieldExtract {
       ${normChainSql("bill", carbonChain)} AS adv_carbon
     FROM s8 ORDER BY doc_id"""
 
-  /** DuckDB twin of [[withFusedConfidence]], layered over [[oracle]] —
-    * same truthiness tests, same left-associated arithmetic, so the
-    * doubles match bit-for-bit.
-    */
   /** shared inner frame (raw_conf / crit / opt + the clamped fused
     * composite over [[oracle]]) — the SINGLE source of the
     * fused-confidence arithmetic for both [[fusedOracle]] and
     * [[payloadOracle]]: this SQL is the bit-for-bit parity contract
-    * with [[withFusedConfidence]], and a drifted second copy would
-    * break the byte-exact payload compare while x09 still passed.
+    * with [[withFusedConfidence]] (same truthiness tests, same
+    * left-associated arithmetic, so the doubles match bit-for-bit),
+    * and a drifted second copy would break the byte-exact payload
+    * compare while x09 still passed.
     */
   private def fusedFrameSql(billSql: String): String =
     s"""SELECT *, round(LEAST(1.0, GREATEST(0.0,
@@ -732,6 +730,9 @@ object FieldExtract {
            + CAST(current_reading IS NOT NULL AND current_reading <> '' AS INT)) / 3.0 AS opt
         FROM (${oracle(billSql)}))"""
 
+  /** DuckDB twin of [[withFusedConfidence]]: projects [[fusedFrameSql]]
+    * to the x09 output shape.
+    */
   def fusedOracle(billSql: String): String =
     s"""SELECT doc_id, raw_conf,
       round(crit, 6) AS field_accuracy,

@@ -72,19 +72,29 @@ object SpanVote {
       // null conf contributes 0 to the weighted sum (the aggregate()
       // election would otherwise null-poison where sum() skipped)
       coalesce(col("conf").cast("double"), lit(0.0)).as("conf"),
-      col("start").cast("int").as("start"), col("end").cast("int").as("end"))
-      // hostile-span guard AT THE SOURCE (null/inverted/degenerate spans
-      // describe no span and never elect — SpanVoteSpec/OperatorFuzzSpec
-      // pin the drop; filtering here rather than downstream also bounds
-      // the machinery): an inverted pair would explode cells() as a
-      // DESCENDING sequence and an absurd width an ascending one, each
-      // ~width/grid rows per token (executor OOM near 2^31 widths), and
-      // iou()'s int arithmetic sits near ARITHMETIC_OVERFLOW under ANSI.
-      // MaxSpanWidth (16 M chars) is far beyond any real token yet keeps
-      // the per-token cell fan-out ≤ ~1 M cells.
-      .filter(col("end") > col("start") &&
-        col("end").cast("long") - col("start").cast("long")
-          <= MaxSpanWidth)
+      // widen to long FIRST: the guard below must see the raw offsets.
+      // A direct cast("int") of a wide-typed hostile offset (JSON
+      // ingestion infers LongType) would throw CAST_OVERFLOW under ANSI
+      // before the guard runs — or, non-ANSI, wrap into a plausible
+      // in-range phantom span that sails through it (review finding)
+      col("start").cast("long").as("startL"), col("end").cast("long").as("endL"))
+      // hostile-span guard AT THE SOURCE (null/inverted/degenerate/
+      // out-of-int-range spans describe no span and never elect —
+      // SpanVoteSpec/OperatorFuzzSpec pin the drop; filtering here
+      // rather than downstream also bounds the machinery): an inverted
+      // pair would explode cells() as a DESCENDING sequence and an
+      // absurd width an ascending one, each ~width/grid rows per token
+      // (executor OOM near 2^31 widths), and iou()'s int arithmetic sits
+      // near ARITHMETIC_OVERFLOW under ANSI. MaxSpanWidth (16 M chars)
+      // is far beyond any real token yet keeps the per-token cell
+      // fan-out ≤ ~1 M cells.
+      .filter(col("endL") > col("startL") &&
+        col("endL") - col("startL") <= MaxSpanWidth &&
+        col("startL") >= Int.MinValue.toLong &&
+        col("endL") <= Int.MaxValue.toLong)
+      .select(col("row_id"), col("engine"), col("text"), col("conf"),
+        col("startL").cast("int").as("start"),
+        col("endL").cast("int").as("end"))
     val t = checkpointDir match {
       case Some(dir) =>
         // unique subdir per invocation (review fix: a FIXED subpath +

@@ -67,6 +67,23 @@ class CalibrationSpec extends SparkSpecBase {
     }
   }
 
+  test("NaN confidence: column path yields NULL, Scala path propagates NaN") {
+    // the two paths intentionally diverge at NaN (Model.col scaladoc):
+    // Spark comparisons treat NaN as GREATER than any double, so a NaN
+    // calibrated value would pass `>= tau` acceptance gates there — NULL
+    // fails them; Scala primitive comparisons are NaN-false, so the
+    // driver-side NaN is already gate-safe
+    val m = Calibration.Model(Array(0.2, 0.6, 1.0), Array(0.1, 0.5, 0.9))
+    assert(m.interpolate(Double.NaN).isNaN)
+    val rows = Seq(Double.NaN, 0.6).toDF("c")
+      .select(m.col($"c").as("v"), (m.col($"c") >= lit(0.05)).as("gate"))
+      .collect()
+    assert(rows(0).isNullAt(0), "NaN must calibrate to NULL in the column path")
+    assert(rows(0).isNullAt(1), "NULL calibrated conf must fail (null out) a tau gate")
+    assert(rows(1).getDouble(0) === 0.5) // finite neighbor untouched
+    assert(rows(1).getBoolean(1))
+  }
+
   test("fit skips paths below the 10-sample gate, keeps raw passthrough") {
     val df = ((1 to 20).map(i => ("html", i / 20.0, i % 2 == 0)) ++
       (1 to 5).map(i => ("pdf", i / 5.0, true))).toDF("path", "confidence", "correct")

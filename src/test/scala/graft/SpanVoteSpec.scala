@@ -83,6 +83,22 @@ class SpanVoteSpec extends SparkSpecBase {
     assert(math.abs(r.getAs[Double]("score") - 0.45) < 1e-9) // (0.9+0.0)/2
   }
 
+  test("wide-typed (long) offsets beyond int range are dropped, not cast-crashed") {
+    // JSON ingestion infers LongType for offsets: a corrupt row with a
+    // >2^31 offset must neither throw CAST_OVERFLOW under ANSI (the
+    // guard has to see the PRE-cast value) nor wrap into a plausible
+    // phantom span non-ANSI; an in-int-range long row must still elect
+    val df = Seq(
+      (1L, "e1", "ok", 0.9, 0L, 4L),
+      (1L, "e2", "corrupt", 0.9, 3000000000L, 3000000010L),
+      (1L, "e3", "corrupt2", 0.9, -3000000010L, -3000000000L))
+      .toDF("row_id", "engine", "text", "conf", "start", "end")
+    val out = SpanVote.vote(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("text") === "ok")
+    assert(out.head.getAs[Int]("start") === 0)
+  }
+
   test("native tokenSpans equals the declarative running-sum spec") {
     import graft.functions.TextFunctions.{tokenSpans, tokenSpansDeclarative}
     val cases = Seq(
