@@ -40,7 +40,7 @@ class OperatorFuzzSpec extends SparkSpecBase {
   }
 
   test("field extraction honors its contract on 300 fuzzed bills") {
-    val bills = fuzzBills(300, 20260819L)
+    val bills = fuzzBills(300, fuzzSeed)
     val out = FieldExtract.withFusedConfidence(
       FieldExtract.withFields(
         bills.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "bill")))
@@ -87,7 +87,7 @@ class OperatorFuzzSpec extends SparkSpecBase {
   }
 
   test("span vote elects only input variants under 400 fuzzed tokens") {
-    val rows = fuzzTokens(400, 20260819L)
+    val rows = fuzzTokens(400, fuzzSeed)
     val tokens = rows.toDF("row_id", "engine", "text", "conf", "start", "end")
     val out = SpanVote.vote(tokens).collect()
     // the operator drops degenerate spans; whatever survives must be an
@@ -117,7 +117,7 @@ class OperatorFuzzSpec extends SparkSpecBase {
   // ---- text analysis ----------------------------------------------------
 
   test("text analysis honors its contract on 300 fuzzed documents") {
-    val rng = new scala.util.Random(20260819L)
+    val rng = new scala.util.Random(fuzzSeed)
     val frags = Vector("the", "und", "la", "de", "的", "!!!", "....", "",
       "\u0000", "\u202e", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "x", "42",
       "&amp;", "<p>", "\n\n", "\t", "é é é", "ß", "｡｡｡")
@@ -151,7 +151,7 @@ class OperatorFuzzSpec extends SparkSpecBase {
   // ---- adaptive routing ---------------------------------------------------
 
   test("adaptive routing honors the strategy table on fuzzed documents") {
-    val rng = new scala.util.Random(20260819L)
+    val rng = new scala.util.Random(fuzzSeed)
     val frags = Vector("the quick brown fox", "!!!!", "299 kWh", "helllo",
       "\u0000", "\u202e", " ", "", "aAaA", "x y z w v u t s r q p o n m",
       "....,,,,;;;;", "word " * 40)
@@ -188,7 +188,7 @@ class OperatorFuzzSpec extends SparkSpecBase {
   // ---- multimodal binary -------------------------------------------------
 
   test("media decode honors its contract on fuzzed binary blobs") {
-    val rng = new scala.util.Random(20260819L)
+    val rng = new scala.util.Random(fuzzSeed)
     val magics = Vector(
       "GIM0".getBytes("US-ASCII"), "GAU0".getBytes("US-ASCII"),
       "GMV0".getBytes("US-ASCII"), "XXXX".getBytes("US-ASCII"),

@@ -71,7 +71,7 @@ class PropertySpec extends SparkSpecBase {
     // corrupted by seeded random truncation, NUL/byte splices, chunk
     // duplication, and tag/run-line injection must still extract with a
     // contract status and in-bounds spans — never throw
-    val rng = new scala.util.Random(20260819L)
+    val rng = new scala.util.Random(fuzzSeed)
     val base = TranscriptGen.inputDf(spark, 400L)
       .select("conv_id", "turn_idx", "role", "text", "tool")
       .collect()

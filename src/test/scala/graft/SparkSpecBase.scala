@@ -21,4 +21,12 @@ object TestSpark {
 
 abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Seed for the generative fuzz suites. Deterministic by default (CI
+    * runs are reproducible); override with GRAFT_FUZZ_SEED for soak
+    * sweeps over many seeds — any seed must uphold the same contracts,
+    * so a soak failure is a real bug plus its repro seed in one.
+    */
+  final def fuzzSeed: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260819L)
 }
